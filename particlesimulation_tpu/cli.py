@@ -1,0 +1,94 @@
+"""Command-line driver with the reference's exact output contract.
+
+Usage mirrors the reference binary (reference serial/parsim.cpp:461-469):
+
+    python -m particlesimulation_tpu <seed> <side_length> <grid_size> \
+        <n_particles> <n_timesteps> [--engine parity|fast] [--mesh N]
+
+stdout: two lines — particle 0's position at three decimals, then the
+cumulative collision count (serial/parsim.cpp:450-453). Wall time goes to
+stderr as "%.1fs" (serial/parsim.cpp:475-479), timing only the step loop, as
+the reference does. The reference bash harnesses can drive this entry
+unmodified.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    engine_kind = "parity"
+    mesh = 1
+    pos_args = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--engine":
+            engine_kind = argv[i + 1]
+            i += 2
+        elif a == "--mesh":
+            mesh = int(argv[i + 1])
+            i += 2
+        else:
+            pos_args.append(a)
+            i += 1
+    if len(pos_args) != 5:
+        print(
+            "Usage: python -m particlesimulation_tpu <seed> <side_length> "
+            "<grid_size> <n_particles> <n_timesteps> "
+            "[--engine parity|fast] [--mesh N]",
+            file=sys.stderr,
+        )
+        return 1
+
+    if engine_kind == "parity":
+        # Parity needs CPU + x64 + no-FMA codegen; may re-exec this process.
+        from particlesimulation_tpu.utils import runtime
+        runtime.ensure_parity_runtime(
+            "particlesimulation_tpu",
+            pos_args + ["--engine", engine_kind, "--mesh", str(mesh)],
+            n_cpu_devices=max(mesh, 1),
+        )
+
+    import jax
+
+    from particlesimulation_tpu.config import Precision, SimConfig
+
+    seed = int(pos_args[0])
+    side = float(pos_args[1])
+    ncside = int(pos_args[2])
+    n_particles = int(pos_args[3])
+    n_steps = int(pos_args[4])
+
+    precision = Precision.PARITY if engine_kind == "parity" else Precision.FAST
+    config = SimConfig(seed=seed, side=side, ncside=ncside,
+                       n_particles=n_particles, precision=precision,
+                       n_shards=mesh)
+
+    if mesh > 1:
+        from particlesimulation_tpu.parallel.sharded import ShardedEngine
+        eng = ShardedEngine(config)
+    else:
+        from particlesimulation_tpu.engine import Engine
+        eng = Engine(config)
+
+    state = eng.init_state()
+    # Warm-up compile outside the timed region (the reference's timer brackets
+    # only simulate(); XLA's one-time compile is the analog of g++'s).
+    state0 = eng.run(state, 0)
+    t0 = time.perf_counter()
+    state = eng.run(state0, n_steps)
+    elapsed = time.perf_counter() - t0
+
+    x, y, cols = eng.result(state)
+    print(f"{elapsed:.1f}s", file=sys.stderr)
+    print(f"{x:.3f} {y:.3f}")
+    print(cols)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,96 @@
+"""Simulation configuration.
+
+The reference drives everything from five positional CLI args and four
+``#define`` physics constants (reference ``serial/parsim.cpp:13-16,461-469``).
+Here the same surface is a frozen dataclass plus a dtype/precision policy and
+mesh parameters for the sharded engine.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+# Physics constants — identical across all reference variants
+# (reference serial/parsim.cpp:13-16).
+G = 6.67408e-11
+EPSILON = 0.005
+EPSILON2 = 0.005 * 0.005
+DELTAT = 0.1
+
+
+class Precision(enum.Enum):
+    """Compute precision policy.
+
+    PARITY: float64 with the exact operation order of the serial oracle.
+        Bit-reproduces the reference trajectories (XLA path; runs on CPU or
+        any backend with native f64).
+    FAST: float32, order-free reductions, Pallas kernels on TPU. The
+        performance path; physics is identical but FP association differs.
+    """
+
+    PARITY = "parity"
+    FAST = "fast"
+
+
+@dataclasses.dataclass(frozen=True)
+class SimConfig:
+    """Static parameters of one simulation.
+
+    Mirrors the reference CLI contract
+    ``parsim <seed> <side_length> <grid_size> <n_particles> <n_timesteps>``
+    (reference serial/parsim.cpp:461-469); ``n_timesteps`` is a run-time
+    argument, not part of the config.
+    """
+
+    seed: int
+    side: float
+    ncside: int
+    n_particles: int
+    precision: Precision = Precision.FAST
+
+    # Sharded-engine parameters (single-chip engines ignore these).
+    n_shards: int = 1
+    # Per-shard particle-slot capacity; 0 = auto (ceil(n/n_shards) * slack).
+    shard_capacity: int = 0
+    # Per-step migration buffer entries per shard; 0 = auto.
+    migration_capacity: int = 0
+
+    def __post_init__(self):
+        if self.ncside < 1:
+            raise ValueError("ncside must be >= 1")
+        if self.n_particles < 1:
+            raise ValueError("n_particles must be >= 1")
+        if self.side <= 0:
+            raise ValueError("side must be > 0")
+        if self.n_shards > 1 and self.ncside % self.n_shards != 0:
+            raise ValueError(
+                f"ncside ({self.ncside}) must be divisible by n_shards "
+                f"({self.n_shards}) for row-block domain decomposition"
+            )
+
+    @property
+    def ncells(self) -> int:
+        return self.ncside * self.ncside
+
+    @property
+    def cell_width(self) -> float:
+        # The reference computes side_length / grid_size as an f64 division
+        # at every use site (serial/parsim.cpp:268); keep it a single f64.
+        return self.side / self.ncside
+
+    @property
+    def rows_per_shard(self) -> int:
+        return self.ncside // self.n_shards
+
+    def resolved_shard_capacity(self) -> int:
+        if self.shard_capacity:
+            return self.shard_capacity
+        per = -(-self.n_particles // self.n_shards)  # ceil
+        cap = int(per * 1.5) + 16
+        return min(cap, self.n_particles) if self.n_shards == 1 else cap
+
+    def resolved_migration_capacity(self) -> int:
+        if self.migration_capacity:
+            return self.migration_capacity
+        return max(64, self.resolved_shard_capacity() // 4)

@@ -1,0 +1,183 @@
+"""Gravitational force computation over the sorted-particle representation.
+
+The reference's hottest loops (reference serial/parsim.cpp:292-377): exact
+pairwise gravity between alive particles sharing a cell, with Newton's-third-
+law dual update, plus monopole attraction from the eight stencil temp-cells.
+
+TPU-native formulation — the *sorted neighbor-offset sweep*: with particles
+sorted by (cell, id), all same-cell partners of particle i sit at offsets
+i±o, o < k_max (the max cell occupancy, a dynamic scalar). A ``fori_loop``
+over o does masked shifted-array arithmetic across all N lanes at once:
+O(N·k) work with no gather/scatter, no buckets, no dynamic shapes.
+
+Parity variant: per particle, the reference accumulates (a) reaction terms
+from lower-indexed partners in ascending-partner order, (b) own pair terms in
+ascending-partner order, then (c) the 8 stencil terms in stencil order
+(SURVEY §2.4 P3). Two sweeps (o descending for (a), o ascending for (b))
+followed by the ordered monopole pass reproduce that association order
+exactly. The force-magnitude expression keeps the reference's association,
+including the detail that the magnitude is computed from the *lower-indexed*
+particle's perspective: ``((G*m_lo)*m_hi)/d2`` (serial/parsim.cpp:139).
+
+Fast variant: one sweep, symmetric accumulation, order-free.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from particlesimulation_tpu.config import G
+
+
+def _doubled(a):
+    return jnp.concatenate([a, a])
+
+
+def _shift_up(a2, o, n):
+    """a2 = doubled array; returns s with s[i] = a[i+o] for i+o < n."""
+    return jax.lax.dynamic_slice_in_dim(a2, o, n)
+
+
+def _shift_down(a2, o, n):
+    """s[i] = a[i-o] for i >= o."""
+    return jax.lax.dynamic_slice_in_dim(a2, n - o, n)
+
+
+def pairwise_forces_parity(x, y, m, alive, key, kmax, ncells: int):
+    """Exact-order same-cell pairwise forces. Returns (fx, fy)."""
+    n = x.shape[0]
+    dt = x.dtype
+    g = jnp.asarray(G, dt)
+    zero = jnp.asarray(0.0, dt)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    real = key < ncells
+    x2, y2, m2 = _doubled(x), _doubled(y), _doubled(m)
+    a2, k2 = _doubled(alive), _doubled(key)
+
+    def lower_body(t, f):
+        # o descends kmax-1 .. 1 → reaction terms arrive in ascending-partner
+        # order, matching serial/parsim.cpp:356-366's outer-loop order.
+        fx, fy = f
+        o = kmax - 1 - t
+        xp = _shift_up(x2, n - o, n)  # partner i-o via down-shift
+        yp = _shift_up(y2, n - o, n)
+        mp = _shift_up(m2, n - o, n)
+        ap = _shift_up(a2, n - o, n)
+        kp = _shift_up(k2, n - o, n)
+        mask = (idx >= o) & (key == kp) & real & alive & ap
+        # From the lower-indexed partner j' = i-o's perspective
+        # (calculateForceBetweenParticles, serial/parsim.cpp:127-148):
+        dx = x - xp   # p2->x - x with p2 = self
+        dy = y - yp
+        d2 = dx * dx + dy * dy
+        dist = jnp.sqrt(d2)
+        mask = mask & (dist != zero)
+        fm = (g * mp) * m / d2
+        fxa = fm * (dx / dist)
+        fya = fm * (dy / dist)
+        # Self is p2: receives the reaction update fx -= fx_add.
+        fx = fx - jnp.where(mask, fxa, zero)
+        fy = fy - jnp.where(mask, fya, zero)
+        return fx, fy
+
+    def upper_body(t, f):
+        fx, fy = f
+        o = t + 1
+        xp = _shift_up(x2, o, n)
+        yp = _shift_up(y2, o, n)
+        mp = _shift_up(m2, o, n)
+        ap = _shift_up(a2, o, n)
+        kp = _shift_up(k2, o, n)
+        mask = (idx < n - o) & (key == kp) & real & alive & ap
+        dx = xp - x   # p2->x - x with self as j
+        dy = yp - y
+        d2 = dx * dx + dy * dy
+        dist = jnp.sqrt(d2)
+        mask = mask & (dist != zero)
+        fm = (g * m) * mp / d2
+        fx = fx + jnp.where(mask, fm * (dx / dist), zero)
+        fy = fy + jnp.where(mask, fm * (dy / dist), zero)
+        return fx, fy
+
+    nsweep = jnp.maximum(kmax - 1, 0)
+    fx = jnp.zeros(n, dtype=dt)
+    fy = jnp.zeros(n, dtype=dt)
+    fx, fy = jax.lax.fori_loop(0, nsweep, lower_body, (fx, fy))
+    fx, fy = jax.lax.fori_loop(0, nsweep, upper_body, (fx, fy))
+    return fx, fy
+
+
+def pairwise_forces_fast(x, y, m, alive, key, kmax, ncells: int):
+    """Order-free same-cell pairwise forces: one sweep, symmetric update."""
+    n = x.shape[0]
+    dt = x.dtype
+    g = jnp.asarray(G, dt)
+    zero = jnp.asarray(0.0, dt)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    real = key < ncells
+    x2, y2, m2 = _doubled(x), _doubled(y), _doubled(m)
+    a2, k2 = _doubled(alive), _doubled(key)
+
+    def body(t, f):
+        fx, fy = f
+        o = t + 1
+        xp = _shift_up(x2, o, n)
+        yp = _shift_up(y2, o, n)
+        mp = _shift_up(m2, o, n)
+        ap = _shift_up(a2, o, n)
+        kp = _shift_up(k2, o, n)
+        mask = (idx < n - o) & (key == kp) & real & alive & ap
+        dx = xp - x
+        dy = yp - y
+        d2 = dx * dx + dy * dy
+        mask = mask & (d2 > zero)
+        inv = jnp.where(d2 > zero, jax.lax.rsqrt(d2), zero)
+        # F/d = G*m1*m2/d^3 = G*m1*m2 * inv^3
+        s = jnp.where(mask, (g * m) * mp * (inv * inv * inv), zero)
+        tx = s * dx
+        ty = s * dy
+        fx = fx + tx
+        fy = fy + ty
+        # Newton's 3rd law on the partner side, via a down-shift.
+        txd = _shift_down(_doubled(tx), o, n)
+        tyd = _shift_down(_doubled(ty), o, n)
+        back = idx >= o
+        fx = fx - jnp.where(back, txd, zero)
+        fy = fy - jnp.where(back, tyd, zero)
+        return fx, fy
+
+    nsweep = jnp.maximum(kmax - 1, 0)
+    fx = jnp.zeros(n, dtype=dt)
+    fy = jnp.zeros(n, dtype=dt)
+    fx, fy = jax.lax.fori_loop(0, nsweep, body, (fx, fy))
+    return fx, fy
+
+
+def monopole_forces(x, y, m, alive, key, fx, fy, ml, mxl, myl,
+                    ncells: int, exact_order: bool):
+    """Add the 8 neighbor-COM monopole terms (serial/parsim.cpp:109-125).
+
+    ``exact_order`` keeps the reference's per-term association (parity);
+    the fast path uses the same loop (it is only 8 static iterations) with
+    rsqrt-free math preserved for simplicity — the cost is dominated by the
+    pairwise sweep.
+    """
+    dt = x.dtype
+    g = jnp.asarray(G, dt)
+    zero = jnp.asarray(0.0, dt)
+    kc = jnp.minimum(key, jnp.int32(ncells))  # sentinel column for invalid
+    real = key < ncells
+    for l in range(8):
+        cm = jnp.take(ml[l], kc)
+        cmx = jnp.take(mxl[l], kc)
+        cmy = jnp.take(myl[l], kc)
+        dx = cmx - x
+        dy = cmy - y
+        d2 = dx * dx + dy * dy
+        dist = jnp.sqrt(d2)
+        mask = alive & real & (dist != zero)
+        fm = (g * m) * cm / jnp.where(d2 > zero, d2, jnp.asarray(1.0, dt))
+        fx = fx + jnp.where(mask, fm * (dx / jnp.where(dist > zero, dist, jnp.asarray(1.0, dt))), zero)
+        fy = fy + jnp.where(mask, fm * (dy / jnp.where(dist > zero, dist, jnp.asarray(1.0, dt))), zero)
+    return fx, fy
