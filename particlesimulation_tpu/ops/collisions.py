@@ -73,8 +73,9 @@ def detect_collisions(x, y, alive, key, pos_in_cell, kmax, epsilon: float,
         return ft
 
     nsweep = jnp.maximum(kmax - 1, 0)
-    ft = jax.lax.fori_loop(0, nsweep, min_body,
-                           jnp.full(n, INF, dtype=jnp.uint32))
+    # Data-derived inits keep varying-axes types aligned under shard_map.
+    ft0 = (key * 0).astype(jnp.uint32) + INF
+    ft = jax.lax.fori_loop(0, nsweep, min_body, ft0)
 
     def count_body(t, cnt):
         o = t + 1
@@ -83,7 +84,7 @@ def detect_collisions(x, y, alive, key, pos_in_cell, kmax, epsilon: float,
         hit = mask & (ft == rank) & (ftp == rank)
         return cnt + jnp.sum(hit, dtype=jnp.int32)
 
-    count = jax.lax.fori_loop(0, nsweep, count_body, jnp.int32(0))
+    count = jax.lax.fori_loop(0, nsweep, count_body, key[0] * 0)
     died = ft != INF
     return count, died
 

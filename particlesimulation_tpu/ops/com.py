@@ -49,8 +49,11 @@ def com_parity(key_sorted, x, y, m, ncells: int):
         nm = m0 + mi
         return (k, nm, nmx, nmy), (nm, nmx, nmy)
 
-    init = (jnp.int32(-1), jnp.asarray(0.0, dt), jnp.asarray(0.0, dt),
-            jnp.asarray(0.0, dt))
+    # Derive the init carry from the inputs so its varying-axes type matches
+    # the loop carry under shard_map (a literal would be replicated).
+    zero_k = key_sorted[0] * 0
+    zero_v = x[0] * 0
+    init = (zero_k - 1, zero_v, zero_v, zero_v)
     _, (ms, mxs, mys) = jax.lax.scan(body, init, (key_sorted, x, y, m))
 
     is_end = _segment_ends(key_sorted)

@@ -101,8 +101,10 @@ def pairwise_forces_parity(x, y, m, alive, key, kmax, ncells: int):
         return fx, fy
 
     nsweep = jnp.maximum(kmax - 1, 0)
-    fx = jnp.zeros(n, dtype=dt)
-    fy = jnp.zeros(n, dtype=dt)
+    # x*0 (not a zeros literal) keeps the carry's varying-axes type aligned
+    # with the loop output under shard_map.
+    fx = x * zero
+    fy = x * zero
     fx, fy = jax.lax.fori_loop(0, nsweep, lower_body, (fx, fy))
     fx, fy = jax.lax.fori_loop(0, nsweep, upper_body, (fx, fy))
     return fx, fy
@@ -148,8 +150,8 @@ def pairwise_forces_fast(x, y, m, alive, key, kmax, ncells: int):
         return fx, fy
 
     nsweep = jnp.maximum(kmax - 1, 0)
-    fx = jnp.zeros(n, dtype=dt)
-    fy = jnp.zeros(n, dtype=dt)
+    fx = x * zero
+    fy = x * zero
     fx, fy = jax.lax.fori_loop(0, nsweep, body, (fx, fy))
     return fx, fy
 

@@ -1,0 +1,390 @@
+"""Row-sharded simulation engine over a 1D device mesh.
+
+Spatial decomposition identical in spirit to the reference MPI variant
+(reference mpi/parsim-mpi.cpp:330-465): the ``ncside`` grid rows are split
+into contiguous blocks, one per mesh device; each device owns the particles
+whose current cell row falls in its block. Per step, inside one
+``shard_map``-wrapped program:
+
+* local binning/COM over the shard's row block;
+* a one-row COM halo travels to each ring neighbor via ``lax.ppermute``
+  (the reference's Isend/Irecv ghost exchange, mpi/parsim-mpi.cpp:670-815 —
+  only monopole data ever crosses shards, never particle bodies);
+* forces/integration run locally against the halo-padded stencil;
+* emigrants ride a fixed-capacity ring buffer for D-1 ``ppermute`` hops
+  (the reference's Alltoall + point-to-point migration,
+  mpi/parsim-mpi.cpp:512-600), landing in free slab slots;
+* the collision count is ``lax.psum``'d (the reference's MPI_Reduce,
+  mpi/parsim-mpi.cpp:1098-1099).
+
+Because each cell lives wholly on one shard, per-cell arithmetic order is
+identical to the single-chip engine — in f64 parity mode the sharded run is
+*bitwise* equal to the single-chip run, which the test suite asserts. The
+reference could only claim 1e-3 agreement between its variants; here the
+decomposition changes communication, not math.
+
+Unlike the reference, which breaks when num_procs > ncside
+(mpi/parsim-mpi.cpp:338-342), the config validates divisibility up front.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from particlesimulation_tpu.config import DELTAT, EPSILON, Precision, SimConfig
+from particlesimulation_tpu.initializer import init_particles_host
+from particlesimulation_tpu.ops import binning, collisions, com, forces, integrate
+from particlesimulation_tpu.ops.stencil import STENCIL
+from particlesimulation_tpu.state import ShardedState
+
+AXIS = "rows"
+
+
+def _ring_perm(d: int, shift: int):
+    return [(i, (i + shift) % d) for i in range(d)]
+
+
+def stencil_tables_halo(Mp, MXp, MYp, side: float, ncside: int,
+                        rows_local: int, row0):
+    """Monopole stencil tables for a halo-padded local COM grid.
+
+    Mp/MXp/MYp: (rows_local+2, ncside); row 0 is the global row row0-1
+    (wrapped), row rows_local+1 is global row row0+rows_local. Mirror offsets
+    are applied by the *consumer* from global coordinates, so halo payloads
+    are raw COM data (as in the reference, where ghosts carry plain COM and
+    the mirror is resolved at force time, mpi/parsim-mpi.cpp:874-935).
+    Returns (ml, mxl, myl): each (8, rows_local*ncside + 1) with a zero
+    sentinel column.
+    """
+    dt = MXp.dtype
+    nc = ncside
+    side_a = jnp.asarray(side, dt)
+    cx = jnp.arange(nc, dtype=jnp.int32)[None, :]
+    gy = row0 + jnp.arange(rows_local, dtype=jnp.int32)[:, None]  # global row
+
+    ml, mxl, myl = [], [], []
+    for dx, dy in STENCIL:
+        rows = jax.lax.dynamic_slice_in_dim(Mp, 1 + dy, rows_local, axis=0)
+        rowsx = jax.lax.dynamic_slice_in_dim(MXp, 1 + dy, rows_local, axis=0)
+        rowsy = jax.lax.dynamic_slice_in_dim(MYp, 1 + dy, rows_local, axis=0)
+        rm = jnp.roll(rows, -dx, axis=1)
+        rmx = jnp.roll(rowsx, -dx, axis=1)
+        rmy = jnp.roll(rowsy, -dx, axis=1)
+        if dx == 1:
+            offx = jnp.where(cx == nc - 1, side_a, jnp.asarray(0.0, dt))
+        elif dx == -1:
+            offx = jnp.where(cx == 0, -side_a, jnp.asarray(0.0, dt))
+        else:
+            offx = jnp.zeros((1, 1), dt)
+        # Mirror in y only where the *global* neighbor row wraps.
+        if dy == 1:
+            offy = jnp.where(gy + 1 >= nc, side_a, jnp.asarray(0.0, dt))
+        elif dy == -1:
+            offy = jnp.where(gy - 1 < 0, -side_a, jnp.asarray(0.0, dt))
+        else:
+            offy = jnp.zeros((1, 1), dt)
+        ml.append(jnp.broadcast_to(rm, (rows_local, nc)).reshape(-1))
+        mxl.append((offx + rmx).reshape(-1))
+        myl.append((offy + rmy).reshape(-1))
+
+    pad = jnp.zeros((8, 1), dtype=dt)
+    return (jnp.concatenate([jnp.stack(ml), pad], axis=1),
+            jnp.concatenate([jnp.stack(mxl), pad], axis=1),
+            jnp.concatenate([jnp.stack(myl), pad], axis=1))
+
+
+def make_sharded_step(config: SimConfig, mesh: Mesh):
+    side = config.side
+    nc = config.ncside
+    ncells = config.ncells
+    d = config.n_shards
+    rows_local = config.rows_per_shard
+    ncells_local = rows_local * nc
+    cap = config.resolved_shard_capacity()
+    bcap = config.resolved_migration_capacity()
+    parity = config.precision is Precision.PARITY
+    empty_key = jnp.int32(ncells + 1)
+
+    def slab_key(x, y, valid):
+        key, in_range = binning.cell_keys(x, y, side, nc)
+        key = jnp.where(valid, key, empty_key)
+        return key, in_range
+
+    def local_step(state: ShardedState) -> ShardedState:
+        me = jax.lax.axis_index(AXIS)
+        row0 = (me * rows_local).astype(jnp.int32)
+        x, y, vx, vy, m = state.x, state.y, state.vx, state.vy, state.m
+        alive, valid, pid = state.alive, state.valid, state.pid
+
+        # ---- binning (slab arrives sorted by this key) ----
+        key, _ = slab_key(x, y, valid)
+        pos, _ = binning.segment_positions(key)
+        kmax = binning.max_occupancy(pos, key < ncells)
+        lk = jnp.where(key < ncells, key - row0 * nc, jnp.int32(ncells_local))
+
+        # ---- local COM over the row block ----
+        if parity:
+            M, MX, MY = com.com_parity(lk, x, y, m, ncells_local)
+        else:
+            M, MX, MY = com.com_fast(lk, x, y, m, ncells_local)
+        M2 = M.reshape(rows_local, nc)
+        MX2 = MX.reshape(rows_local, nc)
+        MY2 = MY.reshape(rows_local, nc)
+
+        # ---- COM halo ring over ICI (reference ghost exchange P3) ----
+        if d > 1:
+            down = _ring_perm(d, 1)    # my last row -> next shard's top halo
+            up = _ring_perm(d, -1)     # my first row -> prev shard's bottom halo
+            top = jax.lax.ppermute((M2[-1], MX2[-1], MY2[-1]), AXIS, down)
+            bot = jax.lax.ppermute((M2[0], MX2[0], MY2[0]), AXIS, up)
+        else:
+            top = (M2[-1], MX2[-1], MY2[-1])
+            bot = (M2[0], MX2[0], MY2[0])
+        Mp = jnp.concatenate([top[0][None], M2, bot[0][None]], axis=0)
+        MXp = jnp.concatenate([top[1][None], MX2, bot[1][None]], axis=0)
+        MYp = jnp.concatenate([top[2][None], MY2, bot[2][None]], axis=0)
+
+        # ---- forces ----
+        ml, mxl, myl = stencil_tables_halo(Mp, MXp, MYp, side, nc,
+                                           rows_local, row0)
+        if parity:
+            fx, fy = forces.pairwise_forces_parity(x, y, m, alive, key, kmax,
+                                                   ncells)
+        else:
+            fx, fy = forces.pairwise_forces_fast(x, y, m, alive, key, kmax,
+                                                 ncells)
+        fx, fy = forces.monopole_forces(x, y, m, alive, lk, fx, fy,
+                                        ml, mxl, myl, ncells_local, parity)
+
+        # ---- integrate + wrap ----
+        x, y, vx, vy = integrate.integrate(x, y, vx, vy, m, fx, fy, side,
+                                           DELTAT)
+
+        # ---- migration (reference P4) ----
+        key2, _ = slab_key(x, y, valid)
+        new_row = jnp.where(key2 < ncells, key2 // nc, jnp.int32(0))
+        dest = jnp.where(key2 < ncells, new_row // rows_local, me)
+        dest = jnp.where(valid, dest, me)
+        emig = valid & (dest != me)
+        n_emig = jnp.sum(emig, dtype=jnp.int32)
+        overflow = jnp.maximum(n_emig - bcap, 0)
+
+        # Pack emigrants (slab order) into the ring buffer.
+        order = jnp.argsort(~emig, stable=True)
+        take = order[:bcap]
+        bvalid = emig[take]
+        buf = {
+            "x": x[take], "y": y[take], "vx": vx[take], "vy": vy[take],
+            "m": m[take], "alive": alive[take], "pid": pid[take],
+            "dest": dest[take], "valid": bvalid,
+        }
+        valid = valid & ~emig
+
+        def accept(slab, buf):
+            (x, y, vx, vy, m, alive, valid, pid) = slab
+            arr = buf["valid"] & (buf["dest"] == me)
+            n_arr = jnp.sum(arr, dtype=jnp.int32)
+            # Arrivals first, in buffer order.
+            aorder = jnp.argsort(~arr, stable=True)
+            free = ~valid
+            slot_rank = jnp.cumsum(free.astype(jnp.int32)) - 1
+            gather = jnp.minimum(jnp.maximum(slot_rank, 0), bcap - 1)
+            fill = free & (slot_rank < n_arr)
+            ovf = jnp.maximum(n_arr - jnp.sum(free, dtype=jnp.int32), 0)
+
+            def put(sl, bu):
+                return jnp.where(fill, bu[aorder][gather], sl)
+
+            slab = (put(x, buf["x"]), put(y, buf["y"]),
+                    put(vx, buf["vx"]), put(vy, buf["vy"]),
+                    put(m, buf["m"]),
+                    jnp.where(fill, buf["alive"][aorder][gather], alive),
+                    valid | fill,
+                    jnp.where(fill, buf["pid"][aorder][gather], pid))
+            buf = dict(buf)
+            buf["valid"] = buf["valid"] & ~arr
+            return slab, buf, ovf
+
+        slab = (x, y, vx, vy, m, alive, valid, pid)
+        if d > 1:
+            fwd = _ring_perm(d, 1)
+            for _hop in range(d - 1):
+                buf = jax.lax.ppermute(buf, AXIS, fwd)
+                slab, buf, ovf = accept(slab, buf)
+                overflow = overflow + ovf
+        (x, y, vx, vy, m, alive, valid, pid) = slab
+
+        # Cleared slots hold inert values (m=0 freezes them everywhere).
+        x = jnp.where(valid, x, 0.0).astype(x.dtype)
+        y = jnp.where(valid, y, 0.0).astype(y.dtype)
+        m = jnp.where(valid, m, 0.0).astype(m.dtype)
+        alive = alive & valid
+
+        # ---- post-move sort + collisions (the one sort per step) ----
+        key3, in_range3 = slab_key(x, y, valid)
+        key3, pid, x, y, vx, vy, m, alive, valid = binning.sort_by_cell(
+            key3, pid, x, y, vx, vy, m, alive, valid)
+        pos3, _ = binning.segment_positions(key3)
+        kmax3 = binning.max_occupancy(pos3, key3 < ncells)
+        count, died = collisions.detect_collisions(
+            x, y, alive, key3, pos3, kmax3, EPSILON, ncells)
+        m, alive = collisions.apply_deaths(m, alive, died)
+
+        total = jax.lax.psum(count, AXIS)
+        panics = jax.lax.psum(
+            jnp.sum(valid & ~in_range3, dtype=jnp.int32), AXIS)
+        total_ovf = jax.lax.psum(overflow, AXIS)
+
+        return ShardedState(
+            x=x, y=y, vx=vx, vy=vy, m=m, alive=alive, valid=valid, pid=pid,
+            collisions=state.collisions + total.astype(state.collisions.dtype),
+            panics=state.panics + panics,
+            overflow=state.overflow + total_ovf,
+        )
+
+    spec_arr = P(AXIS)
+    spec_scalar = P()
+    specs = ShardedState(
+        x=spec_arr, y=spec_arr, vx=spec_arr, vy=spec_arr, m=spec_arr,
+        alive=spec_arr, valid=spec_arr, pid=spec_arr,
+        collisions=spec_scalar, panics=spec_scalar, overflow=spec_scalar)
+    return jax.shard_map(local_step, mesh=mesh, in_specs=(specs,),
+                         out_specs=specs)
+
+
+class ShardedEngine:
+    """Mesh-parallel engine with the same interface as the single-chip one."""
+
+    def __init__(self, config: SimConfig, devices=None):
+        self.config = config
+        d = config.n_shards
+        if devices is None:
+            devices = jax.devices()[:d]
+        if len(devices) < d:
+            raise ValueError(f"need {d} devices, have {len(devices)}")
+        self.mesh = Mesh(np.array(devices[:d]), (AXIS,))
+        if config.precision is Precision.PARITY:
+            if not jax.config.jax_enable_x64:
+                raise RuntimeError("parity precision requires jax_enable_x64")
+            self.dtype = jnp.float64
+        else:
+            self.dtype = jnp.float32
+        self._step = make_sharded_step(config, self.mesh)
+        self._run = jax.jit(
+            lambda s, nsteps: jax.lax.fori_loop(
+                0, nsteps, lambda i, st: self._step(st), s))
+
+    def init_state(self) -> ShardedState:
+        """Host init, then scatter by owner row-block into per-shard slabs.
+
+        The reference initializes everything on rank 0 with the shared RNG
+        and distributes by ownership (mpi/parsim-mpi.cpp:344-349,406-465);
+        the same split happens here on the host.
+        """
+        cfg = self.config
+        d = cfg.n_shards
+        cap = cfg.resolved_shard_capacity()
+        xs, ys, vxs, vys, ms = init_particles_host(cfg)
+        w = cfg.side / cfg.ncside
+        cx = (xs / w).astype(np.int32)
+        cy = (ys / w).astype(np.int32)
+        in_range = ((cx >= 0) & (cx < cfg.ncside) &
+                    (cy >= 0) & (cy < cfg.ncside))
+        row = np.clip(cy, 0, cfg.ncside - 1)
+        shard = np.where(in_range, row // cfg.rows_per_shard, 0)
+
+        n = cfg.n_particles
+        pid = np.arange(n, dtype=np.int32)
+        slabs = {k: np.zeros((d, cap), dtype=np.float64)
+                 for k in ("x", "y", "vx", "vy", "m")}
+        alive = np.zeros((d, cap), dtype=bool)
+        valid = np.zeros((d, cap), dtype=bool)
+        pids = np.full((d, cap), np.iinfo(np.int32).max, dtype=np.int32)
+        for s in range(d):
+            idx = np.nonzero(shard == s)[0]
+            if len(idx) > cap:
+                raise ValueError(
+                    f"shard {s} needs {len(idx)} slots > capacity {cap}; "
+                    f"raise SimConfig.shard_capacity")
+            k = len(idx)
+            slabs["x"][s, :k] = xs[idx]
+            slabs["y"][s, :k] = ys[idx]
+            slabs["vx"][s, :k] = vxs[idx]
+            slabs["vy"][s, :k] = vys[idx]
+            slabs["m"][s, :k] = ms[idx]
+            alive[s, :k] = True
+            valid[s, :k] = True
+            pids[s, :k] = pid[idx]
+
+        ctype = (jnp.int64 if jax.config.jax_enable_x64 else jnp.int32)
+        sh = NamedSharding(self.mesh, P(AXIS))
+        rep = NamedSharding(self.mesh, P())
+
+        def dev(a, dtype):
+            return jax.device_put(
+                jnp.asarray(a.reshape(d * cap), dtype=dtype), sh)
+
+        state = ShardedState(
+            x=dev(slabs["x"], self.dtype), y=dev(slabs["y"], self.dtype),
+            vx=dev(slabs["vx"], self.dtype), vy=dev(slabs["vy"], self.dtype),
+            m=dev(slabs["m"], self.dtype),
+            alive=dev(alive, bool), valid=dev(valid, bool),
+            pid=dev(pids, jnp.int32),
+            collisions=jax.device_put(jnp.zeros((), dtype=ctype), rep),
+            panics=jax.device_put(jnp.zeros((), dtype=jnp.int32), rep),
+            overflow=jax.device_put(jnp.zeros((), dtype=jnp.int32), rep),
+        )
+        # Establish the sorted-slab invariant via one no-op-like sort.
+        return self._presort(state)
+
+    def _presort(self, state: ShardedState) -> ShardedState:
+        cfg = self.config
+
+        def local(st: ShardedState) -> ShardedState:
+            key, _ = binning.cell_keys(st.x, st.y, cfg.side, cfg.ncside)
+            key = jnp.where(st.valid, key, jnp.int32(cfg.ncells + 1))
+            _, pid, x, y, vx, vy, m, alive, valid = binning.sort_by_cell(
+                key, st.pid, st.x, st.y, st.vx, st.vy, st.m, st.alive,
+                st.valid)
+            return st._replace(x=x, y=y, vx=vx, vy=vy, m=m, alive=alive,
+                               valid=valid, pid=pid)
+
+        spec_arr = P(AXIS)
+        specs = ShardedState(
+            x=spec_arr, y=spec_arr, vx=spec_arr, vy=spec_arr, m=spec_arr,
+            alive=spec_arr, valid=spec_arr, pid=spec_arr,
+            collisions=P(), panics=P(), overflow=P())
+        f = jax.shard_map(local, mesh=self.mesh, in_specs=(specs,),
+                          out_specs=specs)
+        return jax.jit(f)(state)
+
+    def run(self, state: ShardedState, n_steps: int) -> ShardedState:
+        out = self._run(state, jnp.int32(n_steps))
+        out = jax.block_until_ready(out)
+        if int(np.asarray(out.overflow)) > 0:
+            raise RuntimeError(
+                "migration/slab overflow — raise shard_capacity or "
+                "migration_capacity in SimConfig")
+        return out
+
+    def result(self, state: ShardedState) -> tuple[float, float, int]:
+        valid = np.asarray(state.valid)
+        pid = np.asarray(state.pid)[valid]
+        x = np.asarray(state.x)[valid]
+        y = np.asarray(state.y)[valid]
+        i = int(np.argmin(pid))
+        return float(x[i]), float(y[i]), int(np.asarray(state.collisions))
+
+    def gather(self, state: ShardedState):
+        """Full state in original pid order (the reference's Gatherv)."""
+        valid = np.asarray(state.valid)
+        out = {}
+        pid = np.asarray(state.pid)[valid]
+        order = np.argsort(pid)
+        for name in ("x", "y", "vx", "vy", "m", "alive"):
+            out[name] = np.asarray(getattr(state, name))[valid][order]
+        out["pid"] = pid[order]
+        return out
