@@ -1,0 +1,66 @@
+#!/usr/bin/env bash
+# Golden end-to-end harness mirroring the reference's run_tests.sh contract
+# (reference serial/run_tests.sh): run the CLI on each vector, compare
+# particle-0 coordinates at ±0.001 and the collision count exactly.
+#
+# Usage: tools/run_golden.sh [fast|slow|all] [--engine parity|fast] [--mesh N]
+set -u
+cd "$(dirname "$0")/.."
+
+SUBSET="${1:-fast}"; shift || true
+EXTRA_ARGS=("$@")
+
+FAST_VECTORS=(
+  "1 2 3 10 1:1.570 0.056:0"
+  "1 1 5 100 1:0.786 0.027:0"
+  "-10 3 3 100 10:1.733 1.643:2"
+  "5893 0.05 3 10 10:0.002 0.035:2"
+  "8555 0.05 3 10 10:0.016 0.049:1"
+)
+SLOW_VECTORS=(
+  "-50 10000 200 500000 10:5025.384 5303.928:4"
+  "1 5000 100 1000000 4:3936.506 131.472:4"
+  "1 5000 100 1000000 100:3899.787 156.291:163"
+  "1 5000 20 1000000 10:3918.912 143.364:19"
+  "1 1000 3 10000 10000:287.788 261.446:31"
+  "3 5000 50 1000000 300:3819.032 25.659:469"
+  "3 5000 50 1000000 500:3738.436 58.743:804"
+  "-1 1000 30 100000 1000:575.878 370.663:1203"
+  "12 100 5 10000 10000:76.732 61.943:2209"
+  "-11 3500 20 500000 10:1984.878 1625.992:35"
+)
+
+case "$SUBSET" in
+  fast) VECTORS=("${FAST_VECTORS[@]}");;
+  slow) VECTORS=("${SLOW_VECTORS[@]}");;
+  all)  VECTORS=("${FAST_VECTORS[@]}" "${SLOW_VECTORS[@]}");;
+  *) echo "unknown subset: $SUBSET" >&2; exit 2;;
+esac
+
+pass=0; fail=0
+for vec in "${VECTORS[@]}"; do
+  IFS=':' read -r args exp_xy exp_cols <<<"$vec"
+  start=$(date +%s)
+  out=$(python -m particlesimulation_tpu $args "${EXTRA_ARGS[@]}" 2>/dev/null)
+  rc=$?
+  took=$(( $(date +%s) - start ))
+  got_xy=$(echo "$out" | sed -n 1p)
+  got_cols=$(echo "$out" | sed -n 2p)
+  read -r ex ey <<<"$exp_xy"
+  read -r gx gy <<<"$got_xy"
+  ok=1
+  [ $rc -ne 0 ] && ok=0
+  if [ $ok -eq 1 ]; then
+    dx=$(python -c "print(1 if abs($gx-($ex))<=0.001 else 0)")
+    dy=$(python -c "print(1 if abs($gy-($ey))<=0.001 else 0)")
+    [ "$dx" = "1" ] && [ "$dy" = "1" ] && [ "$got_cols" = "$exp_cols" ] || ok=0
+  fi
+  if [ $ok -eq 1 ]; then
+    pass=$((pass+1)); echo "PASS  [$args] -> $got_xy / $got_cols (${took}s)"
+  else
+    fail=$((fail+1)); echo "FAIL  [$args] got '$got_xy / $got_cols' want '$exp_xy / $exp_cols' (${took}s)"
+  fi
+done
+echo "----"
+echo "$pass passed, $fail failed"
+[ $fail -eq 0 ]
