@@ -10,9 +10,21 @@ run length, and no host round-trips occur inside a run.
 The post-move sort of step t doubles as the binning of step t+1 (positions
 don't change between the collision pass and the next COM pass), so each step
 performs exactly one lexicographic sort.
+
+Two fast-path implementations:
+
+* ``sweep`` — XLA neighbor-offset sweep (works everywhere; the parity
+  engine's formulation at f32);
+* ``dense`` — Pallas per-cell tile kernels (TPU; O(N) HBM traffic for the
+  O(N·k) pair work). Capacity-adaptive: occupancy overflow is detected
+  in-graph and the engine transparently retries the run with a larger tile
+  capacity (the reference instead PANIC-skips particles,
+  serial/parsim.cpp:276-280 — here no particle is ever dropped).
 """
 
 from __future__ import annotations
+
+import os
 
 import jax
 import jax.numpy as jnp
@@ -21,11 +33,12 @@ import numpy as np
 from particlesimulation_tpu.config import DELTAT, EPSILON, Precision, SimConfig
 from particlesimulation_tpu.initializer import init_particles_host
 from particlesimulation_tpu.ops import binning, collisions, com, forces, integrate, stencil
+from particlesimulation_tpu.ops.pallas import cell_pairs
 from particlesimulation_tpu.state import SimState
 
 
 def make_step(config: SimConfig):
-    """Build the jittable ``step: SimState -> SimState``."""
+    """Build the jittable ``step: SimState -> SimState`` (sweep impl)."""
     side = config.side
     nc = config.ncside
     ncells = config.ncells
@@ -72,15 +85,113 @@ def make_step(config: SimConfig):
             x=x, y=y, vx=vx, vy=vy, m=m, alive=alive, pid=pid,
             collisions=state.collisions + count.astype(state.collisions.dtype),
             panics=state.panics + jnp.sum(~valid, dtype=jnp.int32),
+            overflow=state.overflow,
         )
 
     return step
 
 
-class Engine:
-    """Single-chip engine: init, jitted run loop, result extraction."""
+def make_dense_step(config: SimConfig, kcap: int):
+    """Fast f32 step over dense per-cell Pallas tiles (TPU hot path)."""
+    side = config.side
+    nc = config.ncside
+    ncells = config.ncells
+    assert config.precision is Precision.FAST
 
-    def __init__(self, config: SimConfig):
+    def scatter_dense(idx, *arrays):
+        out = []
+        for a in arrays:
+            out.append(jnp.zeros(ncells * kcap, a.dtype)
+                       .at[idx].set(a, mode="drop")
+                       .reshape(ncells, kcap))
+        return out
+
+    def step(state: SimState) -> SimState:
+        x, y, vx, vy, m, alive, pid = (state.x, state.y, state.vx, state.vy,
+                                       state.m, state.alive, state.pid)
+        key, valid = binning.cell_keys(x, y, side, nc)
+        pos, _ = binning.segment_positions(key)
+        kmax = binning.max_occupancy(pos, valid)
+        # overflow carries the largest occupancy that exceeded the tile
+        # capacity (0 = clean) so the retry can size the tiles in one jump.
+        ovf = jnp.where(kmax > kcap, kmax, 0)
+
+        ok = valid & (pos < kcap)
+        idx = jnp.where(ok, key * kcap + pos, ncells * kcap)  # OOB → dropped
+        xd, yd = scatter_dense(idx, x, y)
+        # Dead particles carry m=0, so one mass scatter serves COM + forces.
+        (md,) = scatter_dense(idx, m)
+
+        # COM from the dense tiles: plain row reductions, no segment ops.
+        M = jnp.sum(md, axis=1)
+        SX = jnp.sum(md * xd, axis=1)
+        SY = jnp.sum(md * yd, axis=1)
+        safe = jnp.where(M > 0, M, jnp.float32(1.0))
+        MX = jnp.where(M > 0, SX / safe, jnp.float32(0.0))
+        MY = jnp.where(M > 0, SY / safe, jnp.float32(0.0))
+
+        ml, mxl, myl = stencil.stencil_tables(M, MX, MY, side, nc)
+        ml_t = ml[:, :ncells].T  # (ncells, 8) row-aligned for the kernel
+        mxl_t = mxl[:, :ncells].T
+        myl_t = myl[:, :ncells].T
+
+        fxd, fyd = cell_pairs.dense_pairwise_forces(
+            xd, yd, md, ml_t, mxl_t, myl_t, ncells, kcap)
+        zero = jnp.float32(0.0)
+        fx = jnp.where(ok, fxd.reshape(-1)[jnp.minimum(idx, ncells * kcap - 1)],
+                       zero)
+        fy = jnp.where(ok, fyd.reshape(-1)[jnp.minimum(idx, ncells * kcap - 1)],
+                       zero)
+
+        x, y, vx, vy = integrate.integrate(x, y, vx, vy, m, fx, fy, side,
+                                           DELTAT)
+
+        key2, valid2 = binning.cell_keys(x, y, side, nc)
+        key2, pid, x, y, vx, vy, m, alive = binning.sort_by_cell(
+            key2, pid, x, y, vx, vy, m, alive)
+        pos2, _ = binning.segment_positions(key2)
+        kmax2 = binning.max_occupancy(pos2, key2 < ncells)
+        ovf = jnp.maximum(ovf, jnp.where(kmax2 > kcap, kmax2, 0))
+
+        ok2 = (key2 < ncells) & (pos2 < kcap)
+        idx2 = jnp.where(ok2, key2 * kcap + pos2, ncells * kcap)
+        xd2, yd2 = scatter_dense(idx2, x, y)
+        (ad2,) = scatter_dense(idx2, alive.astype(jnp.int32))
+        count, ftd = cell_pairs.dense_collisions(
+            xd2, yd2, ad2, ncells, kcap, EPSILON)
+        died = ok2 & (ftd.reshape(-1)[jnp.minimum(idx2, ncells * kcap - 1)]
+                      != jnp.uint32(0xFFFFFFFF))
+        m, alive = collisions.apply_deaths(m, alive, died)
+
+        return SimState(
+            x=x, y=y, vx=vx, vy=vy, m=m, alive=alive, pid=pid,
+            collisions=state.collisions + count.astype(state.collisions.dtype),
+            panics=state.panics + jnp.sum(~valid, dtype=jnp.int32),
+            overflow=jnp.maximum(state.overflow, ovf.astype(jnp.int32)),
+        )
+
+    return step
+
+
+def _use_dense_default() -> bool:
+    if os.environ.get("PSIM_DENSE") == "0":
+        return False
+    if os.environ.get("PSIM_DENSE") == "1":
+        return True
+    return jax.default_backend() == "tpu"
+
+
+class Engine:
+    """Single-chip engine: init, jitted run loop, result extraction.
+
+    Fast precision auto-selects the dense Pallas implementation on TPU with
+    occupancy-adaptive tile capacity; overflow triggers a transparent
+    retry at doubled capacity (falling back to the XLA sweep beyond
+    ``cell_pairs.MAX_DENSE_KCAP``).
+    """
+
+    def __init__(self, config: SimConfig, kcap: int | None = None,
+                 use_dense: bool | None = None):
         self.config = config
         if config.precision is Precision.PARITY:
             if not jax.config.jax_enable_x64:
@@ -88,18 +199,63 @@ class Engine:
                     "parity precision requires jax_enable_x64 "
                     "(see utils.runtime.ensure_parity_runtime)")
             self.dtype = jnp.float64
+            self.use_dense = False
         else:
             self.dtype = jnp.float32
-        self._step = make_step(config)
+            self.use_dense = (_use_dense_default()
+                              if use_dense is None else use_dense)
+        self.kcap = kcap
+        self._built_kcap = None
+        self._step = None
+        self._run = None
+
+    # -- build ------------------------------------------------------------
+
+    def _heuristic_kcap(self) -> int:
+        avg = max(1, self.config.n_particles // max(1, self.config.ncells))
+        k = 8
+        while k < min(4 * avg + 32, cell_pairs.MAX_DENSE_KCAP):
+            k *= 2
+        return k
+
+    def _build(self):
+        if self.use_dense:
+            if self.kcap is None:
+                self.kcap = self._heuristic_kcap()
+            if self.kcap > cell_pairs.MAX_DENSE_KCAP:
+                self.use_dense = False
+        if self.use_dense:
+            if self._built_kcap == self.kcap and self._step is not None:
+                return
+            self._step = make_dense_step(self.config, self.kcap)
+            self._built_kcap = self.kcap
+        else:
+            if self._step is not None and self._built_kcap is None:
+                return
+            self._step = make_step(self.config)
+            self._built_kcap = None
         self._run = jax.jit(
             lambda s, nsteps: jax.lax.fori_loop(
                 0, nsteps, lambda i, st: self._step(st), s))
+
+    # -- API ---------------------------------------------------------------
 
     def init_state(self) -> SimState:
         """Host-side initial conditions, cast and pre-sorted by cell key."""
         cfg = self.config
         xs, ys, vxs, vys, ms = init_particles_host(cfg)
         n = cfg.n_particles
+        if self.use_dense and self.kcap is None:
+            # Occupancy-informed tile capacity (host-side, no readback).
+            w = cfg.side / cfg.ncside
+            cx = np.clip((xs / w).astype(np.int64), 0, cfg.ncside - 1)
+            cy = np.clip((ys / w).astype(np.int64), 0, cfg.ncside - 1)
+            occ = np.bincount(cy * cfg.ncside + cx,
+                              minlength=cfg.ncells).max()
+            k = 8
+            while k < min(int(occ * 2) + 8, 2 * cell_pairs.MAX_DENSE_KCAP):
+                k *= 2
+            self.kcap = k
         ctype = (jnp.int64 if jax.config.jax_enable_x64 else jnp.int32)
         state = SimState(
             x=jnp.asarray(xs, self.dtype),
@@ -111,6 +267,7 @@ class Engine:
             pid=jnp.arange(n, dtype=jnp.int32),
             collisions=jnp.zeros((), dtype=ctype),
             panics=jnp.zeros((), dtype=jnp.int32),
+            overflow=jnp.zeros((), dtype=jnp.int32),
         )
         key, _ = binning.cell_keys(state.x, state.y, cfg.side, cfg.ncside)
         key, pid, x, y, vx, vy, m, alive = binning.sort_by_cell(
@@ -120,8 +277,35 @@ class Engine:
                               pid=pid)
 
     def run(self, state: SimState, n_steps: int) -> SimState:
-        out = self._run(state, jnp.int32(n_steps))
-        return jax.block_until_ready(out)
+        for _attempt in range(5):
+            self._build()
+            if self.use_dense:
+                state_in = state._replace(
+                    overflow=jnp.zeros((), dtype=jnp.int32))
+            else:
+                state_in = state
+            out = self._run(state_in, jnp.int32(n_steps))
+            # Scalar readback: the only reliable completion fence on
+            # remote-tunneled backends (block_until_ready can be dispatch-only).
+            jax.block_until_ready(out)
+            if not self.use_dense:
+                np.asarray(out.collisions)
+                return out
+            need = int(np.asarray(out.overflow))
+            if need == 0:
+                return out
+            # Occupancy outgrew the dense tiles: retry from the input state
+            # with tiles sized to the observed occupancy (the reference
+            # PANIC-skips particles in its analogous situation; here the run
+            # is replayed losslessly).
+            k = 8
+            while k < int(need * 1.25) + 1:
+                k *= 2
+            self.kcap = max(k, self.kcap * 2)
+            if self.kcap > cell_pairs.MAX_DENSE_KCAP:
+                self.use_dense = False
+            self._step = None
+        raise RuntimeError("dense capacity retries exhausted")
 
     def result(self, state: SimState) -> tuple[float, float, int]:
         from particlesimulation_tpu.state import result_of
@@ -129,6 +313,7 @@ class Engine:
 
     def run_debug(self, state: SimState, n_steps: int):
         """Unjitted per-step execution for step-diff debugging."""
+        self._build()
         for _ in range(n_steps):
             state = self._step(state)
         return jax.block_until_ready(state)

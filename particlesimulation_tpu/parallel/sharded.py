@@ -363,7 +363,9 @@ class ShardedEngine:
 
     def run(self, state: ShardedState, n_steps: int) -> ShardedState:
         out = self._run(state, jnp.int32(n_steps))
-        out = jax.block_until_ready(out)
+        # Scalar readback doubles as a hard completion fence (remote
+        # backends may treat block_until_ready as dispatch-complete).
+        jax.block_until_ready(out)
         if int(np.asarray(out.overflow)) > 0:
             raise RuntimeError(
                 "migration/slab overflow — raise shard_capacity or "

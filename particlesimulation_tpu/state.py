@@ -38,6 +38,9 @@ class SimState(NamedTuple):
     collisions: jnp.ndarray  # () int — cumulative merged-cluster count
     panics: jnp.ndarray      # () int32 — out-of-range binning events
                              # (reference [PANIC2] skip, serial/parsim.cpp:276-280)
+    overflow: jnp.ndarray    # () int32 — dense-tile capacity overflow events;
+                             # nonzero invalidates the run (engine retries with
+                             # a larger capacity)
 
     @property
     def n(self) -> int:

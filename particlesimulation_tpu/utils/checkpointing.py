@@ -12,7 +12,8 @@ import numpy as np
 
 from particlesimulation_tpu.state import SimState
 
-_FIELDS = ("x", "y", "vx", "vy", "m", "alive", "pid", "collisions", "panics")
+_FIELDS = ("x", "y", "vx", "vy", "m", "alive", "pid", "collisions", "panics",
+           "overflow")
 
 
 def save_state(path: str, state: SimState) -> None:
@@ -31,4 +32,5 @@ def load_state(path: str, dtype=None) -> SimState:
     return SimState(
         x=arr("x", dt), y=arr("y", dt), vx=arr("vx", dt), vy=arr("vy", dt),
         m=arr("m", dt), alive=arr("alive"), pid=arr("pid"),
-        collisions=arr("collisions"), panics=arr("panics"))
+        collisions=arr("collisions"), panics=arr("panics"),
+        overflow=arr("overflow"))

@@ -1,0 +1,91 @@
+"""Dense Pallas kernels vs the XLA sweep formulations (interpret mode on CPU).
+
+The dense per-cell tile kernels must agree with the sweep implementations:
+forces to f32 tolerance (different summation order), collision counts and
+death sets exactly (integer semantics are order-independent by construction).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from particlesimulation_tpu.config import EPSILON, Precision, SimConfig
+
+RNG = np.random.default_rng(7)
+
+
+def _mk_engines(n=3000, side=50.0, nc=8, seed=1):
+    from particlesimulation_tpu.engine import Engine
+    base = dict(seed=seed, side=side, ncside=nc, n_particles=n,
+                precision=Precision.FAST)
+    sweep = Engine(SimConfig(**base), use_dense=False)
+    dense = Engine(SimConfig(**base), use_dense=True)
+    return sweep, dense
+
+
+def _by_pid(state):
+    pid = np.asarray(state.pid)
+    order = np.argsort(pid)
+    return {f: np.asarray(getattr(state, f))[order]
+            for f in ("x", "y", "vx", "vy", "m", "alive")}
+
+
+def test_dense_step_matches_sweep_step():
+    sweep, dense = _mk_engines()
+    s_state = sweep.run(sweep.init_state(), 3)
+    d_state = dense.run(dense.init_state(), 3)
+    sv, dv = _by_pid(s_state), _by_pid(d_state)
+    np.testing.assert_allclose(dv["x"], sv["x"], rtol=0, atol=1e-3)
+    np.testing.assert_allclose(dv["vx"], sv["vx"], rtol=1e-4, atol=1e-7)
+    assert int(d_state.overflow) == 0
+
+
+def test_dense_collisions_match_sweep_exactly():
+    # Tiny box → many collisions; counts and death sets are exact integers.
+    sweep, dense = _mk_engines(n=200, side=0.08, nc=4, seed=5893)
+    s_state = sweep.run(sweep.init_state(), 8)
+    d_state = dense.run(dense.init_state(), 8)
+    assert int(s_state.collisions) == int(d_state.collisions)
+    sv, dv = _by_pid(s_state), _by_pid(d_state)
+    np.testing.assert_array_equal(dv["alive"], sv["alive"])
+
+
+def test_dense_overflow_triggers_capacity_retry():
+    from particlesimulation_tpu.engine import Engine
+    cfg = SimConfig(seed=1, side=10.0, ncside=2, n_particles=500,
+                    precision=Precision.FAST)
+    # Force a deliberately tiny capacity; run() must retry transparently.
+    eng = Engine(cfg, kcap=8, use_dense=True)
+    out = eng.run(eng.init_state(), 2)
+    assert int(out.overflow) == 0  # the returned (retried) run is clean
+    assert eng.kcap > 8 or not eng.use_dense
+
+
+def test_dense_force_kernel_against_direct_numpy():
+    from particlesimulation_tpu.ops.pallas import cell_pairs
+    import jax.numpy as jnp
+    from particlesimulation_tpu.config import G
+
+    ncells, kcap = 6, 16
+    x = RNG.uniform(0, 1, (ncells, kcap)).astype(np.float32)
+    y = RNG.uniform(0, 1, (ncells, kcap)).astype(np.float32)
+    m = RNG.uniform(0.5, 1.0, (ncells, kcap)).astype(np.float32)
+    m[:, 12:] = 0.0  # empty slots
+    zeros8 = np.zeros((ncells, 8), np.float32)
+    fx, fy = cell_pairs.dense_pairwise_forces(
+        jnp.asarray(x), jnp.asarray(y), jnp.asarray(m),
+        jnp.asarray(zeros8), jnp.asarray(zeros8), jnp.asarray(zeros8),
+        ncells, kcap)
+    fx = np.asarray(fx)
+    # Direct O(K^2) reference in f64.
+    for c in range(ncells):
+        for i in range(kcap):
+            acc = 0.0
+            for j in range(kcap):
+                dx = float(x[c, j]) - float(x[c, i])
+                dy = float(y[c, j]) - float(y[c, i])
+                d2 = dx * dx + dy * dy
+                if d2 > 0:
+                    acc += G * float(m[c, i]) * float(m[c, j]) * dx / d2 ** 1.5
+            np.testing.assert_allclose(fx[c, i], acc, rtol=2e-4, atol=1e-12)

@@ -1,0 +1,84 @@
+"""Per-step cost of the fast engine, measured inside one device call.
+
+The remote TPU tunnel has a ~30ms per-call roundtrip floor and very slow
+host→device bulk transfers, so: (1) initial conditions are generated
+*on device* (same distributions as the reference initializer — throughput
+benchmarking needs the workload shape, not the exact bits); (2) per-step
+time = (t(run K) - t(run 1)) / (K - 1) with scalar-readback fences.
+
+Usage: python tools/tpu_stepbench.py [N] [ncside] [steps] [sweep|dense]
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def device_init_state(config, engine):
+    """Reference-shaped initial conditions generated on device (f32)."""
+    from particlesimulation_tpu.config import EPSILON2, G
+    from particlesimulation_tpu.ops import binning
+    from particlesimulation_tpu.state import SimState
+
+    n, side, g = config.n_particles, config.side, config.ncside
+    k = jax.random.PRNGKey(abs(config.seed))
+    ks = jax.random.split(k, 5)
+    u = [jax.random.uniform(kk, (n,), jnp.float32) for kk in ks]
+    x = u[0] * side
+    y = u[1] * side
+    vx = (u[2] - 0.5) * side / g / 5.0
+    vy = (u[3] - 0.5) * side / g / 5.0
+    m = u[4] * 0.01 * (g * g) / n / G * EPSILON2
+    state = SimState(
+        x=x, y=y, vx=vx, vy=vy, m=m,
+        alive=jnp.ones(n, dtype=bool),
+        pid=jnp.arange(n, dtype=jnp.int32),
+        collisions=jnp.zeros((), jnp.int32),
+        panics=jnp.zeros((), jnp.int32),
+        overflow=jnp.zeros((), jnp.int32),
+    )
+    key, _ = binning.cell_keys(state.x, state.y, side, g)
+    key, pid, xx, yy, vvx, vvy, mm, al = binning.sort_by_cell(
+        key, state.pid, state.x, state.y, state.vx, state.vy,
+        state.m, state.alive)
+    return state._replace(x=xx, y=yy, vx=vvx, vy=vvy, m=mm, alive=al,
+                          pid=pid)
+
+
+def main():
+    from particlesimulation_tpu.config import Precision, SimConfig
+    from particlesimulation_tpu.engine import Engine
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    ncside = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    steps = int(sys.argv[3]) if len(sys.argv) > 3 else 51
+    impl = sys.argv[4] if len(sys.argv) > 4 else "dense"
+
+    cfg = SimConfig(seed=1, side=5000.0, ncside=ncside, n_particles=n,
+                    precision=Precision.FAST)
+    eng = Engine(cfg, use_dense=(impl == "dense"))
+    state = device_init_state(cfg, eng)
+
+    t0 = time.time()
+    s1 = eng.run(state, 1)
+    print(f"first run(1): {time.time()-t0:.1f}s (compile+exec) "
+          f"kcap={eng.kcap} dense={eng.use_dense}", flush=True)
+    t0 = time.time()
+    s1 = eng.run(state, 1)
+    t1 = time.time() - t0
+    print(f"run(1): {t1*1000:.1f} ms", flush=True)
+    t0 = time.time()
+    sk = eng.run(state, steps)
+    tk = time.time() - t0
+    per = (tk - t1) / (steps - 1)
+    print(f"run({steps}): {tk*1000:.1f} ms -> per-step {per*1000:.2f} ms; "
+          f"rate {n/per/1e6:.1f} M particle*steps/s; "
+          f"collisions={int(np.asarray(sk.collisions))} "
+          f"overflow={int(np.asarray(sk.overflow))}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
