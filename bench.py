@@ -4,9 +4,15 @@
 Prints one JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Baseline: the reference serial binary on this machine's CPU for the same
-simulation parameters (seed 1, side 5000, ncside 100, N=1e6 — golden vector
-#5's configuration) measured at 1.29e6 particle-steps/s (BASELINE.md).
+Methodology notes (the device is reached through a remote tunnel):
+* initial conditions are generated on device — same distributions as the
+  reference initializer; the host-exact stream is for parity runs, not
+  throughput runs (reference times only simulate(), serial/parsim.cpp:475);
+* per-step time = (t(run K) - t(run 1)) / (K - 1), with scalar-readback
+  fences (block_until_ready can be dispatch-only through the tunnel);
+* workload = golden vector #5's configuration (seed 1, side 5000,
+  ncside 100, N=1e6). Baseline: the reference serial binary at the same
+  configuration on this machine's CPU, 1.29e6 particle-steps/s (BASELINE.md).
 """
 
 import json
@@ -17,31 +23,41 @@ SERIAL_BASELINE = 1.29e6  # particle*steps/s, reference serial, this machine
 
 
 def main() -> int:
+    import numpy as np
+
     from particlesimulation_tpu.config import Precision, SimConfig
     from particlesimulation_tpu.engine import Engine
+
+    sys.path.insert(0, ".")
+    from tools.tpu_stepbench import device_init_state
 
     n = 1_000_000
     cfg = SimConfig(seed=1, side=5000.0, ncside=100, n_particles=n,
                     precision=Precision.FAST)
     eng = Engine(cfg)
-    state = eng.init_state()
+    state = device_init_state(cfg, eng)
 
-    # Warm-up: compile + a few steps to reach steady-state occupancy.
-    state = eng.run(state, 3)
-
-    steps = 200
+    eng.run(state, 1)          # compile + warm (includes capacity retries)
     t0 = time.perf_counter()
-    state = eng.run(state, steps)
-    elapsed = time.perf_counter() - t0
+    eng.run(state, 1)
+    t1 = time.perf_counter() - t0
 
-    rate = n * steps / elapsed
+    steps = 101
+    t0 = time.perf_counter()
+    out = eng.run(state, steps)
+    tk = time.perf_counter() - t0
+
+    per_step = max((tk - t1) / (steps - 1), 1e-9)
+    rate = n / per_step
     print(json.dumps({
         "metric": "particle_steps_per_sec_n1e6",
         "value": rate,
         "unit": "particle*steps/s",
         "vs_baseline": rate / SERIAL_BASELINE,
     }))
-    print(f"# {steps} steps in {elapsed:.3f}s; collisions={int(state.collisions)}",
+    print(f"# per-step {per_step*1000:.2f} ms (run1 {t1*1000:.1f} ms, "
+          f"run{steps} {tk*1000:.1f} ms); dense={eng.use_dense} "
+          f"kcap={eng.kcap}; collisions={int(np.asarray(out.collisions))}",
           file=sys.stderr)
     return 0
 

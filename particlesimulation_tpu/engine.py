@@ -160,7 +160,7 @@ def make_dense_step(config: SimConfig, kcap: int):
         count, ftd = cell_pairs.dense_collisions(
             xd2, yd2, ad2, ncells, kcap, EPSILON)
         died = ok2 & (ftd.reshape(-1)[jnp.minimum(idx2, ncells * kcap - 1)]
-                      != jnp.uint32(0xFFFFFFFF))
+                      != jnp.int32(0x7FFFFFFF))
         m, alive = collisions.apply_deaths(m, alive, died)
 
         return SimState(
@@ -178,6 +178,10 @@ def _use_dense_default() -> bool:
         return False
     if os.environ.get("PSIM_DENSE") == "1":
         return True
+    # The axon remote-compile tunnel cannot execute Pallas custom calls
+    # (kernels hang in its compile helper); use the XLA sweep there.
+    if os.environ.get("PALLAS_AXON_REMOTE_COMPILE"):
+        return False
     return jax.default_backend() == "tpu"
 
 

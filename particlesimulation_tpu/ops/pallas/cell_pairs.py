@@ -57,92 +57,106 @@ def _force_kernel(x_ref, y_ref, m_ref, ml_ref, mxl_ref, myl_ref,
     g = jnp.float32(G)
     gm = g * m
     kcap = x.shape[1]
-    fx = jnp.zeros_like(x)
-    fy = jnp.zeros_like(x)
-    # Pairwise: t[c, i, j] = force on slot i from partner slot j.
-    for jc in range(0, kcap, jchunk):
-        xj = x[:, jc:jc + jchunk]
-        yj = y[:, jc:jc + jchunk]
-        mj = m[:, jc:jc + jchunk]
-        dx = xj[:, None, :] - x[:, :, None]   # (CB, K, Jc)
-        dy = yj[:, None, :] - y[:, :, None]
+    fx_chunks = []
+    fy_chunks = []
+    # Receiver slots i are processed in chunks; partners j span the full K
+    # so the lane dimension stays wide. Intermediates are (CB, Ic, K).
+    for ic in range(0, kcap, jchunk):
+        xi = x[:, ic:ic + jchunk]
+        yi = y[:, ic:ic + jchunk]
+        gmi = gm[:, ic:ic + jchunk]
+        dx = x[:, None, :] - xi[:, :, None]   # (CB, Ic, K)
+        dy = y[:, None, :] - yi[:, :, None]
         d2 = dx * dx + dy * dy
         nz = d2 > 0.0
         inv = jnp.where(nz, jax.lax.rsqrt(jnp.where(nz, d2, 1.0)), 0.0)
-        s = gm[:, :, None] * mj[:, None, :] * (inv * inv * inv)
-        fx = fx + jnp.sum(s * dx, axis=2)
-        fy = fy + jnp.sum(s * dy, axis=2)
-    # Monopole: 8 static stencil terms, row-broadcast per cell.
-    for l in range(8):
-        cm = ml_ref[:, l][:, None]
-        dxl = mxl_ref[:, l][:, None] - x
-        dyl = myl_ref[:, l][:, None] - y
-        d2l = dxl * dxl + dyl * dyl
-        nzl = d2l > 0.0
-        invl = jnp.where(nzl, jax.lax.rsqrt(jnp.where(nzl, d2l, 1.0)), 0.0)
-        sl = gm * cm * (invl * invl * invl)
-        fx = fx + sl * dxl
-        fy = fy + sl * dyl
-    fx_ref[:] = fx
-    fy_ref[:] = fy
+        s = gmi[:, :, None] * m[:, None, :] * (inv * inv * inv)
+        fxc = jnp.sum(s * dx, axis=2)         # (CB, Ic)
+        fyc = jnp.sum(s * dy, axis=2)
+        # Monopole: 8 static stencil terms, row-broadcast per cell
+        # (l:l+1 slices stay rank-2 — Mosaic rejects 1D intermediates).
+        for l in range(8):
+            cm = ml_ref[:, l:l + 1]
+            dxl = mxl_ref[:, l:l + 1] - xi
+            dyl = myl_ref[:, l:l + 1] - yi
+            d2l = dxl * dxl + dyl * dyl
+            nzl = d2l > 0.0
+            invl = jnp.where(nzl, jax.lax.rsqrt(jnp.where(nzl, d2l, 1.0)),
+                             0.0)
+            sl = gmi * cm * (invl * invl * invl)
+            fxc = fxc + sl * dxl
+            fyc = fyc + sl * dyl
+        fx_chunks.append(fxc)
+        fy_chunks.append(fyc)
+    fx_ref[:] = jnp.concatenate(fx_chunks, axis=1)
+    fy_ref[:] = jnp.concatenate(fy_chunks, axis=1)
 
 
 def _collision_kernel(x_ref, y_ref, alive_ref, ft_ref, count_ref, *,
                       kcap, eps2, jchunk):
     """First-colliding-pair ranks + set-rule count per cell row.
 
-    alive: int32 (1/0). ft: uint32 min pair-rank per slot (0xFFFFFFFF if
-    none). count: (CB, 1) partial counts, summed by the caller. Implements
+    alive: int32 (1/0). ft: int32 min pair-rank per slot (INT32_MAX if
+    none; Mosaic has no unsigned reductions, and kcap<=1024 keeps ranks
+    far below 2^31). count: (CB, 1) partial counts, summed by the caller. Implements
     the exact reference collision-set semantics (see ops/collisions.py).
     Two chunked passes: min-rank accumulation, then first-pair counting.
     """
     x = x_ref[:]
     y = y_ref[:]
     alive = alive_ref[:]
-    INF = jnp.uint32(0xFFFFFFFF)
-    base = jnp.uint32(kcap + 1)
+    INF = jnp.int32(0x7FFFFFFF)
+    base = jnp.int32(kcap + 1)
 
-    def chunk_cand(jc):
-        xj = x[:, jc:jc + jchunk]
-        yj = y[:, jc:jc + jchunk]
-        aj = alive[:, jc:jc + jchunk]
-        dx = xj[:, None, :] - x[:, :, None]   # (CB, K, Jc)
-        dy = yj[:, None, :] - y[:, :, None]
+    def chunk_cand(ic):
+        # Receiver rows i in a chunk; partners j span the full K (lanes).
+        xi = x[:, ic:ic + jchunk]
+        yi = y[:, ic:ic + jchunk]
+        ai = alive[:, ic:ic + jchunk]
+        dx = x[:, None, :] - xi[:, :, None]   # (CB, Ic, K)
+        dy = y[:, None, :] - yi[:, :, None]
         d2 = dx * dx + dy * dy
-        pair_alive = (alive[:, :, None] * aj[:, None, :]) > 0
-        i_idx = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
-        j_idx = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 2) + jc
+        pair_alive = (ai[:, :, None] * alive[:, None, :]) > 0
+        i_idx = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1) + ic
+        j_idx = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 2)
         hit = pair_alive & (d2 < eps2) & (j_idx > i_idx)
-        rank = i_idx.astype(jnp.uint32) * base + j_idx.astype(jnp.uint32)
+        rank = i_idx * base + j_idx
         return jnp.where(hit, rank, INF), hit
 
-    ft = jnp.full(x.shape, INF, dtype=jnp.uint32)
-    col_mins = []
-    for jc in range(0, kcap, jchunk):
-        cand, _ = chunk_cand(jc)
-        ft = jnp.minimum(ft, jnp.min(cand, axis=2))          # slot as i
-        col_mins.append(jnp.min(cand, axis=1))               # slot as j
-    ft = jnp.minimum(ft, jnp.concatenate(col_mins, axis=1))
+    ft_i_chunks = []
+    ftj = jnp.full(x.shape, INF, dtype=jnp.int32)
+    for ic in range(0, kcap, jchunk):
+        cand, _ = chunk_cand(ic)
+        ft_i_chunks.append(jnp.min(cand, axis=2))            # slot as i
+        ftj = jnp.minimum(ftj, jnp.min(cand, axis=1))        # slot as j
+    ft = jnp.minimum(jnp.concatenate(ft_i_chunks, axis=1), ftj)
     ft_ref[:] = ft
 
     count = jnp.zeros((x.shape[0], 1), dtype=jnp.int32)
-    for jc in range(0, kcap, jchunk):
-        cand, hit = chunk_cand(jc)
-        ftj = ft[:, jc:jc + jchunk]
-        first_both = hit & (ft[:, :, None] == cand) & (ftj[:, None, :] == cand)
-        count = count + jnp.sum(first_both, axis=(1, 2),
-                                dtype=jnp.int32)[:, None]
+    for ic in range(0, kcap, jchunk):
+        cand, hit = chunk_cand(ic)
+        fti = ft[:, ic:ic + jchunk]
+        first_both = hit & (fti[:, :, None] == cand) & (ft[:, None, :] == cand)
+        count = count + jnp.sum(
+            jnp.sum(first_both, axis=2, dtype=jnp.int32), axis=1,
+            keepdims=True)
     count_ref[:] = count
 
 
 def _pick_tiling(kcap: int) -> tuple[int, int]:
-    """(cells per program, partner chunk): TPU wants the sublane dim (cells)
-    in multiples of 8; keep (CB, K, Jc) f32 intermediates ~≤2MB."""
-    jchunk = min(kcap, 128 if kcap < 1024 else 64)
-    budget = 2 * 1024 * 1024 // 4
-    cb = budget // max(kcap * jchunk, 1)
-    cb = max(8, (cb // 8) * 8)
-    return min(cb, 512), jchunk
+    """(cells per program, receiver chunk).
+
+    Mosaic allocates every live (CB, Ic, K) intermediate on the VMEM stack,
+    so keep each one ≤~512KB with CB=8 (the sublane minimum); the lane
+    dimension stays at the full K for VPU width.
+    """
+    cb = 8
+    target_elems = (512 * 1024) // 4
+    ic = max(8, target_elems // max(cb * kcap, 1))
+    p = 8
+    while p * 2 <= ic:
+        p *= 2
+    return cb, min(p, kcap)
 
 
 def _padded(arrs, pad_cells, kcap):
@@ -178,7 +192,7 @@ def dense_pairwise_forces(xd, yd, md, ml, mxl, myl, ncells: int, kcap: int):
 
 
 def dense_collisions(xd, yd, alived, ncells: int, kcap: int, eps: float):
-    """(ncells, K) tiles → (count, ft uint32 per slot)."""
+    """(ncells, K) tiles → (count, ft int32 per slot)."""
     cb, jchunk = _pick_tiling(kcap)
     nblocks = pl.cdiv(ncells, cb)
     pad_cells = nblocks * cb - ncells
@@ -194,7 +208,7 @@ def dense_collisions(xd, yd, alived, ncells: int, kcap: int, eps: float):
         in_specs=[spec, spec, spec],
         out_specs=(spec, cspec),
         out_shape=(
-            jax.ShapeDtypeStruct(xd.shape, jnp.uint32),
+            jax.ShapeDtypeStruct(xd.shape, jnp.int32),
             jax.ShapeDtypeStruct((xd.shape[0], 1), jnp.int32),
         ),
         interpret=_interpret(),
