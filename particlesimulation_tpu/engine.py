@@ -91,12 +91,20 @@ def make_step(config: SimConfig):
     return step
 
 
-def make_dense_step(config: SimConfig, kcap: int):
-    """Fast f32 step over dense per-cell Pallas tiles (TPU hot path)."""
+def make_dense_step(config: SimConfig, kcap: int, backend: str = "pallas"):
+    """Fast f32 step over dense per-cell tiles (TPU hot path).
+
+    backend: "pallas" (fused Mosaic kernels) or "xla" (lax.map blocks —
+    for runtimes where Pallas custom calls are unavailable).
+    """
     side = config.side
     nc = config.ncside
     ncells = config.ncells
     assert config.precision is Precision.FAST
+    if backend == "pallas":
+        from particlesimulation_tpu.ops.pallas import cell_pairs as dmod
+    else:
+        from particlesimulation_tpu.ops import dense_xla as dmod
 
     def scatter_dense(idx, *arrays):
         out = []
@@ -135,7 +143,7 @@ def make_dense_step(config: SimConfig, kcap: int):
         mxl_t = mxl[:, :ncells].T
         myl_t = myl[:, :ncells].T
 
-        fxd, fyd = cell_pairs.dense_pairwise_forces(
+        fxd, fyd = dmod.dense_pairwise_forces(
             xd, yd, md, ml_t, mxl_t, myl_t, ncells, kcap)
         zero = jnp.float32(0.0)
         fx = jnp.where(ok, fxd.reshape(-1)[jnp.minimum(idx, ncells * kcap - 1)],
@@ -157,7 +165,7 @@ def make_dense_step(config: SimConfig, kcap: int):
         idx2 = jnp.where(ok2, key2 * kcap + pos2, ncells * kcap)
         xd2, yd2 = scatter_dense(idx2, x, y)
         (ad2,) = scatter_dense(idx2, alive.astype(jnp.int32))
-        count, ftd = cell_pairs.dense_collisions(
+        count, ftd = dmod.dense_collisions(
             xd2, yd2, ad2, ncells, kcap, EPSILON)
         died = ok2 & (ftd.reshape(-1)[jnp.minimum(idx2, ncells * kcap - 1)]
                       != jnp.int32(0x7FFFFFFF))
@@ -178,11 +186,19 @@ def _use_dense_default() -> bool:
         return False
     if os.environ.get("PSIM_DENSE") == "1":
         return True
-    # The axon remote-compile tunnel cannot execute Pallas custom calls
-    # (kernels hang in its compile helper); use the XLA sweep there.
-    if os.environ.get("PALLAS_AXON_REMOTE_COMPILE"):
-        return False
     return jax.default_backend() == "tpu"
+
+
+def _dense_backend_default() -> str:
+    env = os.environ.get("PSIM_DENSE_BACKEND")
+    if env:
+        return env
+    # The axon remote-compile tunnel cannot execute Pallas custom calls
+    # (even trivial kernels hang in its compile helper); use the lax.map
+    # formulation there. First-party TPU runtimes get the fused kernels.
+    if os.environ.get("PALLAS_AXON_REMOTE_COMPILE"):
+        return "xla"
+    return "pallas"
 
 
 class Engine:
@@ -195,8 +211,10 @@ class Engine:
     """
 
     def __init__(self, config: SimConfig, kcap: int | None = None,
-                 use_dense: bool | None = None):
+                 use_dense: bool | None = None,
+                 dense_backend: str | None = None):
         self.config = config
+        self.dense_backend = dense_backend or _dense_backend_default()
         if config.precision is Precision.PARITY:
             if not jax.config.jax_enable_x64:
                 raise RuntimeError(
@@ -231,7 +249,8 @@ class Engine:
         if self.use_dense:
             if self._built_kcap == self.kcap and self._step is not None:
                 return
-            self._step = make_dense_step(self.config, self.kcap)
+            self._step = make_dense_step(self.config, self.kcap,
+                                          self.dense_backend)
             self._built_kcap = self.kcap
         else:
             if self._step is not None and self._built_kcap is None:

@@ -15,12 +15,12 @@ from particlesimulation_tpu.config import EPSILON, Precision, SimConfig
 RNG = np.random.default_rng(7)
 
 
-def _mk_engines(n=3000, side=50.0, nc=8, seed=1):
+def _mk_engines(n=3000, side=50.0, nc=8, seed=1, backend="pallas"):
     from particlesimulation_tpu.engine import Engine
     base = dict(seed=seed, side=side, ncside=nc, n_particles=n,
                 precision=Precision.FAST)
     sweep = Engine(SimConfig(**base), use_dense=False)
-    dense = Engine(SimConfig(**base), use_dense=True)
+    dense = Engine(SimConfig(**base), use_dense=True, dense_backend=backend)
     return sweep, dense
 
 
@@ -31,8 +31,9 @@ def _by_pid(state):
             for f in ("x", "y", "vx", "vy", "m", "alive")}
 
 
-def test_dense_step_matches_sweep_step():
-    sweep, dense = _mk_engines()
+@pytest.mark.parametrize("backend", ["pallas", "xla"])
+def test_dense_step_matches_sweep_step(backend):
+    sweep, dense = _mk_engines(backend=backend)
     s_state = sweep.run(sweep.init_state(), 3)
     d_state = dense.run(dense.init_state(), 3)
     sv, dv = _by_pid(s_state), _by_pid(d_state)
@@ -41,9 +42,11 @@ def test_dense_step_matches_sweep_step():
     assert int(d_state.overflow) == 0
 
 
-def test_dense_collisions_match_sweep_exactly():
+@pytest.mark.parametrize("backend", ["pallas", "xla"])
+def test_dense_collisions_match_sweep_exactly(backend):
     # Tiny box → many collisions; counts and death sets are exact integers.
-    sweep, dense = _mk_engines(n=200, side=0.08, nc=4, seed=5893)
+    sweep, dense = _mk_engines(n=200, side=0.08, nc=4, seed=5893,
+                               backend=backend)
     s_state = sweep.run(sweep.init_state(), 8)
     d_state = dense.run(dense.init_state(), 8)
     assert int(s_state.collisions) == int(d_state.collisions)

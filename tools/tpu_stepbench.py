@@ -59,7 +59,12 @@ def main():
 
     cfg = SimConfig(seed=1, side=5000.0, ncside=ncside, n_particles=n,
                     precision=Precision.FAST)
-    eng = Engine(cfg, use_dense=(impl == "dense"))
+    if impl == "sweep":
+        eng = Engine(cfg, use_dense=False)
+    elif impl in ("dense", "pallas"):
+        eng = Engine(cfg, use_dense=True, dense_backend="pallas")
+    else:
+        eng = Engine(cfg, use_dense=True, dense_backend="xla")
     state = device_init_state(cfg, eng)
 
     t0 = time.time()
