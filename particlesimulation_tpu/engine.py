@@ -234,9 +234,12 @@ class Engine:
     # -- build ------------------------------------------------------------
 
     def _heuristic_kcap(self) -> int:
-        avg = max(1, self.config.n_particles // max(1, self.config.ncells))
+        # Poisson-tail bound on max cell occupancy for near-uniform loads;
+        # the in-graph overflow check + lossless retry covers clustered ones.
+        avg = max(1.0, self.config.n_particles / max(1, self.config.ncells))
+        bound = avg + 6.0 * avg ** 0.5 + 16
         k = 8
-        while k < min(4 * avg + 32, cell_pairs.MAX_DENSE_KCAP):
+        while k < min(bound, cell_pairs.MAX_DENSE_KCAP):
             k *= 2
         return k
 

@@ -1,0 +1,87 @@
+"""Checkpointing, debug tooling, profiling, and the Simulation facade."""
+
+import os
+
+import numpy as np
+import pytest
+
+from particlesimulation_tpu.config import Precision, SimConfig
+from particlesimulation_tpu.engine import Engine
+from particlesimulation_tpu.models import Simulation
+from particlesimulation_tpu.utils import checkpointing, debug, profiling
+
+
+def test_checkpoint_roundtrip_resumes_bitexact(tmp_path):
+    cfg = SimConfig(seed=5893, side=0.05, ncside=3, n_particles=10,
+                    precision=Precision.PARITY)
+    eng = Engine(cfg)
+    s0 = eng.init_state()
+    mid = eng.run(s0, 5)
+    path = str(tmp_path / "mid.npz")
+    checkpointing.save_state(path, mid)
+    restored = checkpointing.load_state(path)
+    a = eng.run(mid, 5)
+    b = eng.run(restored, 5)
+    np.testing.assert_array_equal(np.asarray(a.x), np.asarray(b.x))
+    assert int(a.collisions) == int(b.collisions)
+
+
+def test_first_divergence_detects_engine_mismatch():
+    base = dict(seed=1, side=100.0, ncside=5, n_particles=500)
+    pe = Engine(SimConfig(**base, precision=Precision.PARITY))
+    fe = Engine(SimConfig(**base, precision=Precision.FAST))
+    res = debug.first_divergence(pe, pe.init_state(), fe, fe.init_state(),
+                                 max_steps=3, atol=0.0)
+    assert res is not None  # f32 vs f64 must differ bitwise immediately
+    step, field, _ = res
+    assert step == 0
+
+
+def test_first_divergence_none_for_same_engine():
+    cfg = SimConfig(seed=1, side=100.0, ncside=5, n_particles=200,
+                    precision=Precision.PARITY)
+    a, b = Engine(cfg), Engine(cfg)
+    assert debug.first_divergence(a, a.init_state(), b, b.init_state(),
+                                  max_steps=2) is None
+
+
+def test_state_digest_fields():
+    cfg = SimConfig(seed=1, side=10.0, ncside=3, n_particles=50,
+                    precision=Precision.PARITY)
+    eng = Engine(cfg)
+    d = debug.state_digest(eng.init_state())
+    assert set(d) == {"sx", "sy", "sm", "alive", "collisions"}
+    assert d["alive"] == 50
+
+
+@pytest.mark.skipif(not os.path.isdir("/root/reference"),
+                    reason="reference checkout not present")
+def test_reference_binary_runner_matches_engine():
+    x, y, c = debug.run_reference_binary("/root/reference", [1, 2, 3, 10, 1])
+    assert (round(x, 3), round(y, 3), c) == (1.570, 0.056, 0)
+
+
+def test_simulation_facade():
+    sim = Simulation(seed=5893, side=0.05, ncside=3, n_particles=10,
+                     precision="parity")
+    out = sim.run(10)
+    assert out.collisions == 2
+    assert f"{out.particle0[0]:.3f}" == "0.002"
+    g = out.gather()
+    assert len(g["x"]) == 10 and (g["pid"] == np.arange(10)).all()
+
+
+def test_phase_timer_report():
+    t = profiling.PhaseTimer()
+    with t.phase("a"):
+        pass
+    with t.phase("b"):
+        pass
+    rep = t.report()
+    assert "a" in rep and "b" in rep
+
+
+def test_bench_fn_returns_positive():
+    import jax.numpy as jnp
+    f = lambda v: v * 2.0
+    assert profiling.bench_fn(f, jnp.ones(16), warmup=1, iters=3) >= 0.0
