@@ -114,21 +114,33 @@ def make_dense_step(config: SimConfig, kcap: int, backend: str = "pallas"):
                        .reshape(ncells, kcap))
         return out
 
-    def step(state: SimState) -> SimState:
-        x, y, vx, vy, m, alive, pid = (state.x, state.y, state.vx, state.vy,
-                                       state.m, state.alive, state.pid)
-        key, valid = binning.cell_keys(x, y, side, nc)
+    def build_tiles(state: SimState):
+        """Dense tiles + index map for the state's (sorted) positions.
+
+        The post-move tiles of step t are exactly the binning tiles of step
+        t+1 (positions don't move between the collision pass and the next
+        COM pass), so the run loop carries them and pays the scatters once
+        per step, not twice.
+        """
+        key, valid = binning.cell_keys(state.x, state.y, side, nc)
         pos, _ = binning.segment_positions(key)
         kmax = binning.max_occupancy(pos, valid)
-        # overflow carries the largest occupancy that exceeded the tile
-        # capacity (0 = clean) so the retry can size the tiles in one jump.
-        ovf = jnp.where(kmax > kcap, kmax, 0)
-
+        ovf = jnp.where(kmax > kcap, kmax, 0).astype(jnp.int32)
         ok = valid & (pos < kcap)
         idx = jnp.where(ok, key * kcap + pos, ncells * kcap)  # OOB → dropped
-        xd, yd = scatter_dense(idx, x, y)
-        # Dead particles carry m=0, so one mass scatter serves COM + forces.
-        (md,) = scatter_dense(idx, m)
+        xd, yd = scatter_dense(idx, state.x, state.y)
+        # Dead particles carry m=0, so the mass tile serves COM, forces
+        # and (as m>0) the collision alive-mask.
+        (md,) = scatter_dense(idx, state.m)
+        return {"xd": xd, "yd": yd, "md": md, "idx": idx, "ok": ok,
+                "ovf": ovf, "panic": jnp.sum(~valid, dtype=jnp.int32)}
+
+    def step(state: SimState, tiles):
+        x, y, vx, vy, m, alive, pid = (state.x, state.y, state.vx, state.vy,
+                                       state.m, state.alive, state.pid)
+        xd, yd, md = tiles["xd"], tiles["yd"], tiles["md"]
+        idx, ok = tiles["idx"], tiles["ok"]
+        ovf = tiles["ovf"]
 
         # COM from the dense tiles: plain row reductions, no segment ops.
         M = jnp.sum(md, axis=1)
@@ -146,39 +158,56 @@ def make_dense_step(config: SimConfig, kcap: int, backend: str = "pallas"):
         fxd, fyd = dmod.dense_pairwise_forces(
             xd, yd, md, ml_t, mxl_t, myl_t, ncells, kcap)
         zero = jnp.float32(0.0)
-        fx = jnp.where(ok, fxd.reshape(-1)[jnp.minimum(idx, ncells * kcap - 1)],
-                       zero)
-        fy = jnp.where(ok, fyd.reshape(-1)[jnp.minimum(idx, ncells * kcap - 1)],
-                       zero)
+        gidx = jnp.minimum(idx, ncells * kcap - 1)
+        fx = jnp.where(ok, fxd.reshape(-1)[gidx], zero)
+        fy = jnp.where(ok, fyd.reshape(-1)[gidx], zero)
 
         x, y, vx, vy = integrate.integrate(x, y, vx, vy, m, fx, fy, side,
                                            DELTAT)
 
+        # Post-move rebin: the one sort per step, then fresh tiles (reused
+        # by the collision pass now and as binning next step).
         key2, valid2 = binning.cell_keys(x, y, side, nc)
         key2, pid, x, y, vx, vy, m, alive = binning.sort_by_cell(
             key2, pid, x, y, vx, vy, m, alive)
-        pos2, _ = binning.segment_positions(key2)
-        kmax2 = binning.max_occupancy(pos2, key2 < ncells)
-        ovf = jnp.maximum(ovf, jnp.where(kmax2 > kcap, kmax2, 0))
+        mid = SimState(x=x, y=y, vx=vx, vy=vy, m=m, alive=alive, pid=pid,
+                       collisions=state.collisions, panics=state.panics,
+                       overflow=state.overflow)
+        tiles2 = build_tiles(mid)
+        ovf = jnp.maximum(ovf, tiles2["ovf"])
 
-        ok2 = (key2 < ncells) & (pos2 < kcap)
-        idx2 = jnp.where(ok2, key2 * kcap + pos2, ncells * kcap)
-        xd2, yd2 = scatter_dense(idx2, x, y)
-        (ad2,) = scatter_dense(idx2, alive.astype(jnp.int32))
+        # alive ⇔ m > 0 for occupied slots, so the mass tile doubles as the
+        # collision alive-mask (empty slots are 0 either way).
+        ad2 = (tiles2["md"] > 0).astype(jnp.int32)
         count, ftd = dmod.dense_collisions(
-            xd2, yd2, ad2, ncells, kcap, EPSILON)
-        died = ok2 & (ftd.reshape(-1)[jnp.minimum(idx2, ncells * kcap - 1)]
-                      != jnp.int32(0x7FFFFFFF))
+            tiles2["xd"], tiles2["yd"], ad2, ncells, kcap, EPSILON)
+        gidx2 = jnp.minimum(tiles2["idx"], ncells * kcap - 1)
+        died = tiles2["ok"] & (ftd.reshape(-1)[gidx2] != jnp.int32(0x7FFFFFFF))
         m, alive = collisions.apply_deaths(m, alive, died)
+        # Deaths in tile space keep the carried mass tile consistent.
+        tiles2["md"] = jnp.where(ftd != jnp.int32(0x7FFFFFFF),
+                                 jnp.float32(0.0), tiles2["md"])
+        tiles2["ovf"] = ovf
 
-        return SimState(
+        out = SimState(
             x=x, y=y, vx=vx, vy=vy, m=m, alive=alive, pid=pid,
             collisions=state.collisions + count.astype(state.collisions.dtype),
-            panics=state.panics + jnp.sum(~valid, dtype=jnp.int32),
-            overflow=jnp.maximum(state.overflow, ovf.astype(jnp.int32)),
+            panics=state.panics + tiles["panic"],
+            overflow=jnp.maximum(state.overflow, ovf),
         )
+        return out, tiles2
 
-    return step
+    def run(state: SimState, n_steps):
+        tiles = build_tiles(state)
+
+        def body(i, carry):
+            st, tl = carry
+            return step(st, tl)
+
+        out, _ = jax.lax.fori_loop(0, n_steps, body, (state, tiles))
+        return out
+
+    return step, build_tiles, run
 
 
 def _use_dense_default() -> bool:
@@ -252,17 +281,19 @@ class Engine:
         if self.use_dense:
             if self._built_kcap == self.kcap and self._step is not None:
                 return
-            self._step = make_dense_step(self.config, self.kcap,
-                                          self.dense_backend)
+            step, build_tiles, run = make_dense_step(
+                self.config, self.kcap, self.dense_backend)
+            self._step = lambda st: step(st, build_tiles(st))[0]
+            self._run = jax.jit(run)
             self._built_kcap = self.kcap
         else:
             if self._step is not None and self._built_kcap is None:
                 return
             self._step = make_step(self.config)
             self._built_kcap = None
-        self._run = jax.jit(
-            lambda s, nsteps: jax.lax.fori_loop(
-                0, nsteps, lambda i, st: self._step(st), s))
+            self._run = jax.jit(
+                lambda s, nsteps: jax.lax.fori_loop(
+                    0, nsteps, lambda i, st: self._step(st), s))
 
     # -- API ---------------------------------------------------------------
 

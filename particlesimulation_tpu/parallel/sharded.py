@@ -96,15 +96,16 @@ def stencil_tables_halo(Mp, MXp, MYp, side: float, ncside: int,
             jnp.concatenate([jnp.stack(myl), pad], axis=1))
 
 
-def make_sharded_step(config: SimConfig, mesh: Mesh):
+def make_sharded_step(config: SimConfig, mesh: Mesh, cap: int | None = None,
+                      bcap: int | None = None):
     side = config.side
     nc = config.ncside
     ncells = config.ncells
     d = config.n_shards
     rows_local = config.rows_per_shard
     ncells_local = rows_local * nc
-    cap = config.resolved_shard_capacity()
-    bcap = config.resolved_migration_capacity()
+    cap = cap or config.resolved_shard_capacity()
+    bcap = bcap or config.resolved_migration_capacity()
     parity = config.precision is Precision.PARITY
     empty_key = jnp.int32(ncells + 1)
 
@@ -272,10 +273,23 @@ class ShardedEngine:
             self.dtype = jnp.float64
         else:
             self.dtype = jnp.float32
-        self._step = make_sharded_step(config, self.mesh)
+        self.capacity = (config.shard_capacity
+                         or None)  # finalized at init_state from occupancy
+        self._built_cap = None
+        self._step = None
+        self._run = None
+
+    def _build(self):
+        cap = self.capacity or self.config.resolved_shard_capacity()
+        self.capacity = cap
+        if self._built_cap == cap and self._run is not None:
+            return
+        bcap = self.config.migration_capacity or max(64, cap // 2)
+        self._step = make_sharded_step(self.config, self.mesh, cap, bcap)
         self._run = jax.jit(
             lambda s, nsteps: jax.lax.fori_loop(
                 0, nsteps, lambda i, st: self._step(st), s))
+        self._built_cap = cap
 
     def init_state(self) -> ShardedState:
         """Host init, then scatter by owner row-block into per-shard slabs.
@@ -286,7 +300,6 @@ class ShardedEngine:
         """
         cfg = self.config
         d = cfg.n_shards
-        cap = cfg.resolved_shard_capacity()
         xs, ys, vxs, vys, ms = init_particles_host(cfg)
         w = cfg.side / cfg.ncside
         cx = (xs / w).astype(np.int32)
@@ -298,6 +311,12 @@ class ShardedEngine:
 
         n = cfg.n_particles
         pid = np.arange(n, dtype=np.int32)
+        counts = np.bincount(shard, minlength=d)
+        if self.capacity is None:
+            # Size slabs from actual initial occupancy with migration slack.
+            need = int(counts.max() * 1.5) + 16
+            self.capacity = max(need, cfg.resolved_shard_capacity())
+        cap = self.capacity
         slabs = {k: np.zeros((d, cap), dtype=np.float64)
                  for k in ("x", "y", "vx", "vy", "m")}
         alive = np.zeros((d, cap), dtype=bool)
@@ -362,6 +381,7 @@ class ShardedEngine:
         return jax.jit(f)(state)
 
     def run(self, state: ShardedState, n_steps: int) -> ShardedState:
+        self._build()
         out = self._run(state, jnp.int32(n_steps))
         # Scalar readback doubles as a hard completion fence (remote
         # backends may treat block_until_ready as dispatch-complete).
