@@ -210,6 +210,127 @@ def make_dense_step(config: SimConfig, kcap: int, backend: str = "pallas"):
     return step, build_tiles, run
 
 
+def make_resident_run(config: SimConfig, kcap: int, backend: str = "xla"):
+    """Slot-resident fast engine: the state lives in (ncells, K) tiles.
+
+    No per-step sort, no per-particle scatter/gather — rebinning moves the
+    few cell-crossing particles via rolls + rank-matched one-hot matmuls
+    (ops/resident.py). The only N-sized reshuffles are one scatter set at
+    run start and one compaction at run end.
+    """
+    from particlesimulation_tpu.ops import resident as res
+
+    side = config.side
+    nc = config.ncside
+    ncells = config.ncells
+    assert config.precision is Precision.FAST
+    if backend == "pallas":
+        from particlesimulation_tpu.ops.pallas import cell_pairs as dmod
+    else:
+        from particlesimulation_tpu.ops import dense_xla as dmod
+    INF = jnp.int32(0x7FFFFFFF)
+
+    def scatter_dense(idx, a, fill=0):
+        flat = jnp.full(ncells * kcap, fill, a.dtype).at[idx].set(
+            a, mode="drop")
+        return flat.reshape(ncells, kcap)
+
+    def prologue(state: SimState) -> res.TileState:
+        key, valid = binning.cell_keys(state.x, state.y, side, nc)
+        pos, _ = binning.segment_positions(key)
+        kmax = binning.max_occupancy(pos, valid)
+        ovf = jnp.where(kmax > kcap, kmax, 0).astype(jnp.int32)
+        ok = valid & (pos < kcap)
+        idx = jnp.where(ok, key * kcap + pos, ncells * kcap)
+        # Out-of-range (PANIC2-limbo) particles park in cell 0's tail slots;
+        # rare by construction and masked out of physics until back in range.
+        limbo = (~valid) & (pos < kcap)
+        idx = jnp.where(limbo, jnp.minimum(pos, kcap - 1), idx)
+        return res.TileState(
+            x=scatter_dense(idx, state.x),
+            y=scatter_dense(idx, state.y),
+            vx=scatter_dense(idx, state.vx),
+            vy=scatter_dense(idx, state.vy),
+            m=scatter_dense(idx, state.m),
+            occ=scatter_dense(idx, jnp.ones_like(state.m, dtype=bool),
+                              fill=False),
+            pid=scatter_dense(idx, state.pid),
+            collisions=state.collisions,
+            panics=state.panics,
+            overflow=jnp.maximum(state.overflow, ovf),
+        )
+
+    def step(ts: res.TileState) -> res.TileState:
+        binned, limbo_count = res.binned_mask(ts, side, nc)
+        mf = jnp.where(binned, ts.m, jnp.float32(0.0))
+
+        # COM + stencil from the tiles (row reductions only).
+        M = jnp.sum(mf, axis=1)
+        SX = jnp.sum(mf * ts.x, axis=1)
+        SY = jnp.sum(mf * ts.y, axis=1)
+        safe = jnp.where(M > 0, M, jnp.float32(1.0))
+        MX = jnp.where(M > 0, SX / safe, jnp.float32(0.0))
+        MY = jnp.where(M > 0, SY / safe, jnp.float32(0.0))
+        ml, mxl, myl = stencil.stencil_tables(M, MX, MY, side, nc)
+
+        fxd, fyd = dmod.dense_pairwise_forces(
+            ts.x, ts.y, mf, ml[:, :ncells].T, mxl[:, :ncells].T,
+            myl[:, :ncells].T, ncells, kcap)
+
+        # Integrate in place; m==0 (dead or empty slot) stays frozen, and a
+        # zero mf zeroes the force on limbo slots (they fly ballistically,
+        # exactly the reference's skipped-particle behavior).
+        x, y, vx, vy = integrate.integrate(ts.x, ts.y, ts.vx, ts.vy, ts.m,
+                                           fxd, fyd, side, DELTAT)
+        ts = ts._replace(x=x, y=y, vx=vx, vy=vy)
+
+        # Rebin: deliver movers to their new rows.
+        ts, undelivered = res.rebin(ts, side, nc, kcap)
+
+        # Collisions on the rebinned tiles.
+        binned2, _ = res.binned_mask(ts, side, nc)
+        ad = (binned2 & (ts.m > 0)).astype(jnp.int32)
+        count, ftd = dmod.dense_collisions(ts.x, ts.y, ad, ncells, kcap,
+                                           EPSILON)
+        died = ftd != INF
+        m = jnp.where(died, jnp.float32(0.0), ts.m)
+
+        return ts._replace(
+            m=m,
+            collisions=ts.collisions + count.astype(ts.collisions.dtype),
+            panics=ts.panics + limbo_count,
+            overflow=jnp.maximum(
+                ts.overflow,
+                jnp.where(undelivered > 0, jnp.int32(kcap + 1),
+                          jnp.int32(0))),
+        )
+
+    def epilogue(ts: res.TileState, n: int) -> SimState:
+        # Compact tiles back to N particle-major arrays (once per run).
+        order = jnp.argsort(~ts.occ.reshape(-1), stable=True)[:n]
+        x = ts.x.reshape(-1)[order]
+        y = ts.y.reshape(-1)[order]
+        vx = ts.vx.reshape(-1)[order]
+        vy = ts.vy.reshape(-1)[order]
+        m = ts.m.reshape(-1)[order]
+        pid = ts.pid.reshape(-1)[order]
+        occ = ts.occ.reshape(-1)[order]
+        alive = occ & (m > 0)
+        key, _ = binning.cell_keys(x, y, side, nc)
+        key, pid, x, y, vx, vy, m, alive = binning.sort_by_cell(
+            key, pid, x, y, vx, vy, m, alive)
+        return SimState(x=x, y=y, vx=vx, vy=vy, m=m, alive=alive, pid=pid,
+                        collisions=ts.collisions, panics=ts.panics,
+                        overflow=ts.overflow)
+
+    def run(state: SimState, n_steps):
+        ts = prologue(state)
+        ts = jax.lax.fori_loop(0, n_steps, lambda i, t: step(t), ts)
+        return epilogue(ts, state.x.shape[0])
+
+    return step, prologue, run
+
+
 def _use_dense_default() -> bool:
     if os.environ.get("PSIM_DENSE") == "0":
         return False
@@ -241,7 +362,8 @@ class Engine:
 
     def __init__(self, config: SimConfig, kcap: int | None = None,
                  use_dense: bool | None = None,
-                 dense_backend: str | None = None):
+                 dense_backend: str | None = None,
+                 impl: str | None = None):
         self.config = config
         self.dense_backend = dense_backend or _dense_backend_default()
         if config.precision is Precision.PARITY:
@@ -250,15 +372,24 @@ class Engine:
                     "parity precision requires jax_enable_x64 "
                     "(see utils.runtime.ensure_parity_runtime)")
             self.dtype = jnp.float64
-            self.use_dense = False
+            self.impl = "sweep"
         else:
             self.dtype = jnp.float32
-            self.use_dense = (_use_dense_default()
-                              if use_dense is None else use_dense)
+            if impl is None:
+                impl = os.environ.get("PSIM_IMPL")
+            if impl is None and use_dense is not None:
+                impl = "dense" if use_dense else "sweep"
+            if impl is None:
+                impl = "resident" if _use_dense_default() else "sweep"
+            self.impl = impl
         self.kcap = kcap
-        self._built_kcap = None
+        self._built_key = None
         self._step = None
         self._run = None
+
+    @property
+    def use_dense(self) -> bool:
+        return self.impl in ("dense", "resident")
 
     # -- build ------------------------------------------------------------
 
@@ -277,23 +408,26 @@ class Engine:
             if self.kcap is None:
                 self.kcap = self._heuristic_kcap()
             if self.kcap > cell_pairs.MAX_DENSE_KCAP:
-                self.use_dense = False
-        if self.use_dense:
-            if self._built_kcap == self.kcap and self._step is not None:
-                return
+                self.impl = "sweep"
+        key = (self.impl, self.kcap if self.use_dense else None)
+        if self._built_key == key and self._run is not None:
+            return
+        if self.impl == "resident":
+            step, prologue, run = make_resident_run(
+                self.config, self.kcap, self.dense_backend)
+            self._run = jax.jit(run)
+            self._step = lambda st: run(st, 1)
+        elif self.impl == "dense":
             step, build_tiles, run = make_dense_step(
                 self.config, self.kcap, self.dense_backend)
             self._step = lambda st: step(st, build_tiles(st))[0]
             self._run = jax.jit(run)
-            self._built_kcap = self.kcap
         else:
-            if self._step is not None and self._built_kcap is None:
-                return
             self._step = make_step(self.config)
-            self._built_kcap = None
             self._run = jax.jit(
                 lambda s, nsteps: jax.lax.fori_loop(
                     0, nsteps, lambda i, st: self._step(st), s))
+        self._built_key = key
 
     # -- API ---------------------------------------------------------------
 
@@ -351,18 +485,22 @@ class Engine:
             need = int(np.asarray(out.overflow))
             if need == 0:
                 return out
-            # Occupancy outgrew the dense tiles: retry from the input state
-            # with tiles sized to the observed occupancy (the reference
+            # Occupancy outgrew the tiles: retry from the input state with
+            # tiles sized to the observed occupancy (the reference
             # PANIC-skips particles in its analogous situation; here the run
-            # is replayed losslessly).
+            # is replayed losslessly). Beyond the tile cap the engine
+            # escalates: resident -> dense -> sweep.
             k = 8
             while k < int(need * 1.25) + 1:
                 k *= 2
             self.kcap = max(k, self.kcap * 2)
             if self.kcap > cell_pairs.MAX_DENSE_KCAP:
-                self.use_dense = False
-            self._step = None
-        raise RuntimeError("dense capacity retries exhausted")
+                if self.impl == "resident":
+                    self.impl = "dense"
+                    self.kcap = None
+                else:
+                    self.impl = "sweep"
+        raise RuntimeError("tile capacity retries exhausted")
 
     def result(self, state: SimState) -> tuple[float, float, int]:
         from particlesimulation_tpu.state import result_of

@@ -60,11 +60,13 @@ def main():
     cfg = SimConfig(seed=1, side=5000.0, ncside=ncside, n_particles=n,
                     precision=Precision.FAST)
     if impl == "sweep":
-        eng = Engine(cfg, use_dense=False)
+        eng = Engine(cfg, impl="sweep")
     elif impl in ("dense", "pallas"):
-        eng = Engine(cfg, use_dense=True, dense_backend="pallas")
+        eng = Engine(cfg, impl="dense", dense_backend="pallas")
+    elif impl == "xla":
+        eng = Engine(cfg, impl="dense", dense_backend="xla")
     else:
-        eng = Engine(cfg, use_dense=True, dense_backend="xla")
+        eng = Engine(cfg, impl="resident", dense_backend="xla")
     state = device_init_state(cfg, eng)
 
     t0 = time.time()
