@@ -468,7 +468,7 @@ class Engine:
                               pid=pid)
 
     def run(self, state: SimState, n_steps: int) -> SimState:
-        for _attempt in range(5):
+        for _attempt in range(6):
             self._build()
             if self.use_dense:
                 state_in = state._replace(
@@ -494,7 +494,13 @@ class Engine:
             while k < int(need * 1.25) + 1:
                 k *= 2
             self.kcap = max(k, self.kcap * 2)
-            if self.kcap > cell_pairs.MAX_DENSE_KCAP:
+            if self.impl == "resident" and _attempt >= 2:
+                # Capacity growth isn't helping — probe-delivery is the
+                # bottleneck (pathological clustering); the dense impl has
+                # no delivery step.
+                self.impl = "dense"
+                self.kcap = None
+            elif self.kcap > cell_pairs.MAX_DENSE_KCAP:
                 if self.impl == "resident":
                     self.impl = "dense"
                     self.kcap = None

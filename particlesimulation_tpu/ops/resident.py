@@ -10,16 +10,18 @@ few particles that changed cell ("movers") directly between rows:
    cell delta — diagonal moves allowed);
 2. for each direction, departing-slot tiles roll across the periodic cell
    grid (``jnp.roll`` — a reindex copy, no gathers);
-3. arrivals land in free slots via *rank matching*: the r-th arrival of a
-   row takes the row's r-th free slot. The data transfer is a one-hot
-   (K×K) batched matmul built from cumsum-rank equality — MXU work, no
-   gathers or scatters anywhere;
+3. arrivals keep their slot index (rotated by the round number) and land
+   only in slots that were free at round start; slot contention between
+   directions resolves by fixed direction priority, losers simply remain
+   movers for the next round. Everything is rolls and masked selects —
+   no gathers, no scatters, no matmuls, bit-exact f32 data movement;
 4. multi-cell movers (rare: post-slingshot speeds) hop once per round of a
-   ``while_loop`` that runs until delivery (normally one round).
+   ``while_loop`` that runs until delivery (normally one or two rounds —
+   the slot-index rotation guarantees contenders eventually find free
+   slots when any exist).
 
-Particle ids ride the matmul as two f32 halves (each < 2^12·2^7, exact).
-A round cap plus an overflow flag (largest unplaced demand) lets the engine
-retry losslessly with bigger tiles, mirroring the dense-capacity protocol.
+A round cap plus an overflow flag lets the engine retry losslessly with
+bigger tiles, mirroring the dense-capacity protocol.
 
 Fragmentation is free: force/collision kernels do full K² masked work
 regardless of which slots are occupied, so rows are never compacted.
@@ -34,8 +36,7 @@ import jax.numpy as jnp
 
 from particlesimulation_tpu.ops.stencil import STENCIL
 
-MAX_ROUNDS = 8
-_PID_BASE = 4096.0
+MAX_ROUNDS = 16
 
 
 class TileState(NamedTuple):
@@ -97,59 +98,45 @@ def rebin(ts: TileState, side: float, ncside: int, kcap: int):
         sy = jnp.sign(_wrap_delta(cy - row_cy, ncside))
         return moving, sx, sy
 
-    def pack_fields(st: TileState):
-        pid_hi = jnp.floor_divide(st.pid, 4096).astype(st.x.dtype)
-        pid_lo = jnp.remainder(st.pid, 4096).astype(st.x.dtype)
-        return jnp.stack([st.x, st.y, st.vx, st.vy, st.m, pid_hi, pid_lo],
-                         axis=-1)  # (ncells, K, 7)
-
-    def unpack_fields(f, st: TileState, taken):
-        def sel(new, old):
-            return jnp.where(taken, new, old)
-        pid_new = (f[..., 5] * _PID_BASE + f[..., 6]).astype(jnp.int32)
-        return st._replace(
-            x=sel(f[..., 0], st.x), y=sel(f[..., 1], st.y),
-            vx=sel(f[..., 2], st.vx), vy=sel(f[..., 3], st.vy),
-            m=sel(f[..., 4], st.m), pid=jnp.where(taken, pid_new, st.pid))
+    FIELDS = ("x", "y", "vx", "vy", "m")
 
     def one_round(carry):
         st, _prev_left, rounds = carry
         moving, sx, sy = mover_info(st)
-        fields = pack_fields(st)
 
-        free = ~st.occ
-        ins_data = jnp.zeros(fields.shape, fields.dtype)
-        ins_mask = jnp.zeros(st.occ.shape, dtype=bool)
+        free = ~st.occ  # slots free at round start; arrivals only land here
+        taken = jnp.zeros(st.occ.shape, dtype=bool)
         departed = jnp.zeros(st.occ.shape, dtype=bool)
+        data = {f: getattr(st, f) for f in FIELDS}
+        pid = st.pid
+        # Probe stride: odd (so coprime with the power-of-two K) and large
+        # enough that successive probes spread across the whole ring —
+        # linear probing would crawl along the front-packed occupied prefix.
+        stride = (kcap // 8) | 1
+        shift = rounds * stride
 
         for dx, dy in STENCIL:
             going = moving & (sx == dx) & (sy == dy)
-            # Arrivals at row c come from row c-(dx,dy).
-            arr_mask = _roll_grid(going, dx, dy, ncside)
-            arr_data = _roll_grid(fields, dx, dy, ncside)
-            n_free = jnp.sum(free, axis=1, keepdims=True)
-            ar = jnp.cumsum(arr_mask.astype(jnp.int32), axis=1) - 1
-            fr = jnp.cumsum(free.astype(jnp.int32), axis=1) - 1
-            placed_j = arr_mask & (ar < n_free)
-            n_placed = jnp.sum(placed_j, axis=1, keepdims=True)
-            take_s = free & (fr < n_placed)
-            # One-hot rank match: slot s takes the arrival with ar == fr[s].
-            P = (take_s[:, :, None] & placed_j[:, None, :] &
-                 (fr[:, :, None] == ar[:, None, :])).astype(fields.dtype)
-            moved = jax.lax.dot_general(
-                P, arr_data, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=fields.dtype)  # (ncells, K, 7)
-            ins_data = jnp.where(take_s[:, :, None], moved, ins_data)
-            ins_mask = ins_mask | take_s
-            free = free & ~take_s
-            # Clear the sources whose arrival was placed.
-            departed = departed | (_roll_grid(placed_j, -dx, -dy, ncside)
-                                   & going)
+            # Arrivals at row c, slot (s + round*stride) % K come from row
+            # c-(dx,dy), slot s: a grid roll plus a slot-axis roll. The
+            # rotation makes contenders probe different slots each round.
+            def ship(a):
+                return jnp.roll(_roll_grid(a, dx, dy, ncside), shift,
+                                axis=1)
+            claim = ship(going)
+            take = claim & free & ~taken
+            for f in FIELDS:
+                data[f] = jnp.where(take, ship(getattr(st, f)), data[f])
+            pid = jnp.where(take, ship(st.pid), pid)
+            taken = taken | take
+            # Tell the source its particle landed (inverse rolls).
+            landed = _roll_grid(jnp.roll(take, -shift, axis=1),
+                                -dx, -dy, ncside)
+            departed = departed | (landed & going)
 
-        occ = (st.occ & ~departed) | ins_mask
-        st = unpack_fields(ins_data, st, ins_mask)
-        st = st._replace(occ=occ,
-                         m=jnp.where(occ, st.m, jnp.asarray(0.0, st.m.dtype)))
+        occ = (st.occ & ~departed) | taken
+        st = st._replace(occ=occ, pid=pid, **data)
+        st = st._replace(m=jnp.where(occ, st.m, jnp.asarray(0.0, st.m.dtype)))
         still, _, _ = mover_info(st)
         left = jnp.sum(still, dtype=jnp.int32)
         return st, left, rounds + 1
