@@ -100,8 +100,9 @@ def rebin(ts: TileState, side: float, ncside: int, kcap: int):
 
     FIELDS = ("x", "y", "vx", "vy", "m")
 
-    def one_round(carry):
-        st, _prev_left, rounds = carry
+    def one_round(st: TileState, shift: int):
+        """One delivery round with a *static* probe shift (dynamic-shift
+        rolls on the slot axis lower to gather-class ops on TPU)."""
         moving, sx, sy = mover_info(st)
 
         free = ~st.occ  # slots free at round start; arrivals only land here
@@ -109,17 +110,12 @@ def rebin(ts: TileState, side: float, ncside: int, kcap: int):
         departed = jnp.zeros(st.occ.shape, dtype=bool)
         data = {f: getattr(st, f) for f in FIELDS}
         pid = st.pid
-        # Probe stride: odd (so coprime with the power-of-two K) and large
-        # enough that successive probes spread across the whole ring —
-        # linear probing would crawl along the front-packed occupied prefix.
-        stride = (kcap // 8) | 1
-        shift = rounds * stride
 
         for dx, dy in STENCIL:
             going = moving & (sx == dx) & (sy == dy)
-            # Arrivals at row c, slot (s + round*stride) % K come from row
+            # Arrivals at row c, slot (s + shift) % K come from row
             # c-(dx,dy), slot s: a grid roll plus a slot-axis roll. The
-            # rotation makes contenders probe different slots each round.
+            # per-round shift makes contenders probe different slots.
             def ship(a):
                 return jnp.roll(_roll_grid(a, dx, dy, ncside), shift,
                                 axis=1)
@@ -139,17 +135,26 @@ def rebin(ts: TileState, side: float, ncside: int, kcap: int):
         st = st._replace(m=jnp.where(occ, st.m, jnp.asarray(0.0, st.m.dtype)))
         still, _, _ = mover_info(st)
         left = jnp.sum(still, dtype=jnp.int32)
-        return st, left, rounds + 1
+        return st, left
 
     moving0, _, _ = mover_info(ts)
     left0 = jnp.sum(moving0, dtype=jnp.int32)
 
-    def cond(carry):
-        _, left, rounds = carry
-        return (left > 0) & (rounds < MAX_ROUNDS)
+    # Statically-unrolled rounds with lax.cond skips: each round's probe
+    # shift is a compile-time constant (static rolls are slice+concat; a
+    # traced shift would lower to a gather). Probe stride is odd (coprime
+    # with the power-of-two K) and spreads probes across the whole ring —
+    # linear probing would crawl along front-packed occupied prefixes.
+    stride = (kcap // 8) | 1
+    st, left = ts, left0
+    for r in range(MAX_ROUNDS):
+        shift = (r * stride) % kcap
 
-    st, left, _ = jax.lax.while_loop(
-        cond, lambda c: one_round(c), (ts, left0, jnp.int32(0)))
+        def do_round(args, shift=shift):
+            s, _ = args
+            return one_round(s, shift)
+
+        st, left = jax.lax.cond(left > 0, do_round, lambda a: a, (st, left))
     return st, left
 
 
