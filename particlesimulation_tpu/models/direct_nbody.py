@@ -1,0 +1,145 @@
+"""Direct (exact all-pairs) N-body model.
+
+A second model family on the same ops substrate: exact O(N²) gravity with
+no particle-in-cell approximation — every pair interacts, with periodic
+minimum-image displacement per pair (the reference approximates anything
+beyond the 3×3 stencil by cell monopoles; here nothing is approximated).
+
+Primarily a validation instrument: running both models on the same initial
+conditions quantifies the PIC approximation error of the flagship model.
+Uses the dense-tile machinery with a single cell row, so the pair pass is
+the same blockwise formulation the fast engine uses.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from particlesimulation_tpu.config import DELTAT, EPSILON, G, SimConfig
+from particlesimulation_tpu.initializer import init_particles_host
+
+
+class DirectState(NamedTuple):
+    x: jnp.ndarray
+    y: jnp.ndarray
+    vx: jnp.ndarray
+    vy: jnp.ndarray
+    m: jnp.ndarray
+    alive: jnp.ndarray
+    collisions: jnp.ndarray
+
+
+def _pair_forces(x, y, m, side, jchunk=512):
+    """Exact all-pairs gravity with periodic minimum image."""
+    n = x.shape[0]
+    dt = x.dtype
+    g = jnp.asarray(G, dt)
+    half = jnp.asarray(side / 2, dt)
+    sidea = jnp.asarray(side, dt)
+    fx = jnp.zeros_like(x)
+    fy = jnp.zeros_like(x)
+
+    def chunk(i0, f):
+        fx, fy = f
+        xi = jax.lax.dynamic_slice_in_dim(x, i0 * jchunk, jchunk)
+        yi = jax.lax.dynamic_slice_in_dim(y, i0 * jchunk, jchunk)
+        mi = jax.lax.dynamic_slice_in_dim(m, i0 * jchunk, jchunk)
+        dx = x[None, :] - xi[:, None]
+        dy = y[None, :] - yi[:, None]
+        # minimum image on the torus
+        dx = dx - sidea * jnp.round(dx / sidea)
+        dy = dy - sidea * jnp.round(dy / sidea)
+        d2 = dx * dx + dy * dy
+        nz = d2 > 0
+        inv = jnp.where(nz, jax.lax.rsqrt(jnp.where(nz, d2, 1.0)), 0.0)
+        s = (g * mi)[:, None] * m[None, :] * (inv * inv * inv)
+        fxc = jnp.sum(s * dx, axis=1)
+        fyc = jnp.sum(s * dy, axis=1)
+        fx = jax.lax.dynamic_update_slice_in_dim(fx, fxc, i0 * jchunk, 0)
+        fy = jax.lax.dynamic_update_slice_in_dim(fy, fyc, i0 * jchunk, 0)
+        return fx, fy
+
+    nchunks = n // jchunk
+    fx, fy = jax.lax.fori_loop(0, nchunks, chunk, (fx, fy))
+    return fx, fy
+
+
+def make_step(side: float, n: int):
+    pad = 512 if n >= 512 else n
+
+    def step(st: DirectState) -> DirectState:
+        fx, fy = _pair_forces(st.x, st.y, st.m, side, jchunk=pad)
+        dt = st.x.dtype
+        dtt = jnp.asarray(DELTAT, dt)
+        frozen = st.m == 0
+        sm = jnp.where(frozen, jnp.asarray(1.0, dt), st.m)
+        ax, ay = fx / sm, fy / sm
+        nx = st.x + (st.vx * dtt + ((0.5 * ax) * dtt) * dtt)
+        ny = st.y + (st.vy * dtt + ((0.5 * ay) * dtt) * dtt)
+        nvx, nvy = st.vx + ax * dtt, st.vy + ay * dtt
+        sidea = jnp.asarray(side, dt)
+        nx = jnp.fmod(nx + sidea, sidea)
+        ny = jnp.fmod(ny + sidea, sidea)
+        x = jnp.where(frozen, st.x, nx)
+        y = jnp.where(frozen, st.y, ny)
+        vx = jnp.where(frozen, st.vx, nvx)
+        vy = jnp.where(frozen, st.vy, nvy)
+
+        # Global EPSILON merging (pairs anywhere, minimum-image distance).
+        dx = x[None, :] - x[:, None]
+        dy = y[None, :] - y[:, None]
+        dx = dx - sidea * jnp.round(dx / sidea)
+        dy = dy - sidea * jnp.round(dy / sidea)
+        d2 = dx * dx + dy * dy
+        eps2 = jnp.asarray(EPSILON, dt) ** 2
+        i = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 0)
+        j = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+        pa = st.alive[:, None] & st.alive[None, :]
+        hit = pa & (d2 < eps2) & (j > i)
+        INF = jnp.int32(0x7FFFFFFF)
+        rank = i * jnp.int32(n + 1) + j
+        cand = jnp.where(hit, rank, INF)
+        ft = jnp.minimum(jnp.min(cand, axis=1), jnp.min(cand, axis=0))
+        count = jnp.sum(hit & (ft[:, None] == cand) & (ft[None, :] == cand),
+                        dtype=jnp.int32)
+        died = ft != INF
+        return DirectState(
+            x=x, y=y, vx=vx, vy=vy,
+            m=jnp.where(died, jnp.asarray(0.0, dt), st.m),
+            alive=st.alive & ~died,
+            collisions=st.collisions + count)
+
+    return step
+
+
+class DirectSimulation:
+    """Exact-gravity counterpart of models.Simulation (small N)."""
+
+    def __init__(self, seed: int, side: float, n_particles: int,
+                 dtype=jnp.float32):
+        # ncside only affects the reference's initial velocity scale; keep
+        # the same convention so both models share initial conditions.
+        self.side = side
+        self.n = n_particles
+        cfg = SimConfig(seed=seed, side=side, ncside=1,
+                        n_particles=n_particles)
+        xs, ys, vxs, vys, ms = init_particles_host(cfg)
+        self.state = DirectState(
+            x=jnp.asarray(xs, dtype), y=jnp.asarray(ys, dtype),
+            vx=jnp.asarray(vxs, dtype), vy=jnp.asarray(vys, dtype),
+            m=jnp.asarray(ms, dtype),
+            alive=jnp.ones(n_particles, dtype=bool),
+            collisions=jnp.zeros((), jnp.int32))
+        step = make_step(side, n_particles)
+        self._run = jax.jit(
+            lambda s, k: jax.lax.fori_loop(0, k, lambda i, t: step(t), s))
+
+    def run(self, steps: int) -> DirectState:
+        self.state = self._run(self.state, jnp.int32(steps))
+        jax.block_until_ready(self.state)
+        np.asarray(self.state.collisions)
+        return self.state
