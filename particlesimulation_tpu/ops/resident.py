@@ -140,14 +140,15 @@ def rebin(ts: TileState, side: float, ncside: int, kcap: int):
     moving0, _, _ = mover_info(ts)
     left0 = jnp.sum(moving0, dtype=jnp.int32)
 
-    # Statically-unrolled rounds with lax.cond skips: each round's probe
-    # shift is a compile-time constant (static rolls are slice+concat; a
-    # traced shift would lower to a gather). Probe stride is odd (coprime
-    # with the power-of-two K) and spreads probes across the whole ring —
-    # linear probing would crawl along front-packed occupied prefixes.
+    # Probe stride: odd (coprime with the power-of-two K) so successive
+    # probes spread across the whole slot ring — linear probing would crawl
+    # along front-packed occupied prefixes.
     stride = (kcap // 8) | 1
+
+    # Common case: two statically-unrolled rounds (compile-time shifts →
+    # rolls are slice+concat). Nearly every step delivers all movers here.
     st, left = ts, left0
-    for r in range(MAX_ROUNDS):
+    for r in range(2):
         shift = (r * stride) % kcap
 
         def do_round(args, shift=shift):
@@ -155,6 +156,20 @@ def rebin(ts: TileState, side: float, ncside: int, kcap: int):
             return one_round(s, shift)
 
         st, left = jax.lax.cond(left > 0, do_round, lambda a: a, (st, left))
+
+    # Rare stragglers (multi-cell hops, heavy contention): a compact
+    # while_loop with traced shifts — slow per round (dynamic slot rolls
+    # lower to gathers) but almost never executed.
+    def cond(carry):
+        _, l, r = carry
+        return (l > 0) & (r < MAX_ROUNDS)
+
+    def body(carry):
+        s, _, r = carry
+        s, l = one_round(s, (r * stride) % kcap)
+        return s, l, r + 1
+
+    st, left, _ = jax.lax.while_loop(cond, body, (st, left, jnp.int32(2)))
     return st, left
 
 
