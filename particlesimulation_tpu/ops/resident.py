@@ -10,15 +10,16 @@ few particles that changed cell ("movers") directly between rows:
    cell delta — diagonal moves allowed);
 2. for each direction, departing-slot tiles roll across the periodic cell
    grid (``jnp.roll`` — a reindex copy, no gathers);
-3. arrivals keep their slot index (rotated by the round number) and land
-   only in slots that were free at round start; slot contention between
-   directions resolves by fixed direction priority, losers simply remain
-   movers for the next round. Everything is rolls and masked selects —
-   no gathers, no scatters, no matmuls, bit-exact f32 data movement;
-4. multi-cell movers (rare: post-slingshot speeds) hop once per round of a
-   ``while_loop`` that runs until delivery (normally one or two rounds —
-   the slot-index rotation guarantees contenders eventually find free
-   slots when any exist).
+3. each round, every row accepts up to one arrival per direction: the
+   first pending arrival (``argmax`` over the rolled mover mask) lands in
+   the row's current first free slot (``argmin`` over occupancy), with the
+   transfer done by one-hot masked reductions — pure elementwise + reduce
+   ops, no gathers, no scatters, no matmuls, bit-exact data movement
+   (pids ride int32 masked sums);
+4. rounds repeat in a ``while_loop`` until every mover is delivered
+   (guaranteed progress: ≥1 delivery per pending (row, direction) per
+   round while free slots exist; typical steps need one or two rounds,
+   multi-cell hops a few more).
 
 A round cap plus an overflow flag lets the engine retry losslessly with
 bigger tiles, mirroring the dense-capacity protocol.
@@ -36,7 +37,10 @@ import jax.numpy as jnp
 
 from particlesimulation_tpu.ops.stencil import STENCIL
 
-MAX_ROUNDS = 16
+# Rounds are cheap (elementwise + reductions in a while_loop) and deliver up
+# to 8 arrivals per row each; the cap only bounds pathological bursts before
+# the engine's lossless retry/escalation takes over.
+MAX_ROUNDS = 64
 
 
 class TileState(NamedTuple):
@@ -99,38 +103,41 @@ def rebin(ts: TileState, side: float, ncside: int, kcap: int):
         return moving, sx, sy
 
     FIELDS = ("x", "y", "vx", "vy", "m")
+    lane = jnp.arange(kcap, dtype=jnp.int32)[None, :]
 
-    def one_round(st: TileState, shift: int):
-        """One delivery round with a *static* probe shift (dynamic-shift
-        rolls on the slot axis lower to gather-class ops on TPU)."""
+    def one_round(st: TileState):
+        """One delivery round: per (row, direction), the first pending
+        arrival lands in the row's first free slot — one-hot masked
+        reductions only (TPU-cheap; no gathers/scatters/dynamic rolls)."""
         moving, sx, sy = mover_info(st)
 
-        free = ~st.occ  # slots free at round start; arrivals only land here
-        taken = jnp.zeros(st.occ.shape, dtype=bool)
+        occ = st.occ
         departed = jnp.zeros(st.occ.shape, dtype=bool)
         data = {f: getattr(st, f) for f in FIELDS}
         pid = st.pid
 
         for dx, dy in STENCIL:
             going = moving & (sx == dx) & (sy == dy)
-            # Arrivals at row c, slot (s + shift) % K come from row
-            # c-(dx,dy), slot s: a grid roll plus a slot-axis roll. The
-            # per-round shift makes contenders probe different slots.
-            def ship(a):
-                return jnp.roll(_roll_grid(a, dx, dy, ncside), shift,
-                                axis=1)
-            claim = ship(going)
-            take = claim & free & ~taken
+            arr = _roll_grid(going, dx, dy, ncside)
+            has = jnp.any(arr, axis=1)
+            can = ~jnp.all(occ, axis=1)
+            ok = (has & can)[:, None]
+            # First pending arrival (source-slot order) in each row...
+            win = arr & (lane == jnp.argmax(arr, axis=1)[:, None]) & ok
+            # ...lands in the row's first free slot.
+            tgt = (lane == jnp.argmin(occ, axis=1)[:, None]) & ~occ & ok
             for f in FIELDS:
-                data[f] = jnp.where(take, ship(getattr(st, f)), data[f])
-            pid = jnp.where(take, ship(st.pid), pid)
-            taken = taken | take
-            # Tell the source its particle landed (inverse rolls).
-            landed = _roll_grid(jnp.roll(take, -shift, axis=1),
-                                -dx, -dy, ncside)
-            departed = departed | (landed & going)
+                shipped = _roll_grid(getattr(st, f), dx, dy, ncside)
+                v = jnp.sum(jnp.where(win, shipped, 0), axis=1,
+                            keepdims=True)
+                data[f] = jnp.where(tgt, v, data[f])
+            pship = _roll_grid(st.pid, dx, dy, ncside)
+            pv = jnp.sum(jnp.where(win, pship, 0), axis=1, keepdims=True)
+            pid = jnp.where(tgt, pv, pid)
+            occ = occ | tgt
+            departed = departed | (_roll_grid(win, -dx, -dy, ncside) & going)
 
-        occ = (st.occ & ~departed) | taken
+        occ = occ & ~departed
         st = st._replace(occ=occ, pid=pid, **data)
         st = st._replace(m=jnp.where(occ, st.m, jnp.asarray(0.0, st.m.dtype)))
         still, _, _ = mover_info(st)
@@ -140,36 +147,16 @@ def rebin(ts: TileState, side: float, ncside: int, kcap: int):
     moving0, _, _ = mover_info(ts)
     left0 = jnp.sum(moving0, dtype=jnp.int32)
 
-    # Probe stride: odd (coprime with the power-of-two K) so successive
-    # probes spread across the whole slot ring — linear probing would crawl
-    # along front-packed occupied prefixes.
-    stride = (kcap // 8) | 1
-
-    # Common case: two statically-unrolled rounds (compile-time shifts →
-    # rolls are slice+concat). Nearly every step delivers all movers here.
-    st, left = ts, left0
-    for r in range(2):
-        shift = (r * stride) % kcap
-
-        def do_round(args, shift=shift):
-            s, _ = args
-            return one_round(s, shift)
-
-        st, left = jax.lax.cond(left > 0, do_round, lambda a: a, (st, left))
-
-    # Rare stragglers (multi-cell hops, heavy contention): a compact
-    # while_loop with traced shifts — slow per round (dynamic slot rolls
-    # lower to gathers) but almost never executed.
     def cond(carry):
-        _, l, r = carry
-        return (l > 0) & (r < MAX_ROUNDS)
+        _, left, rounds = carry
+        return (left > 0) & (rounds < MAX_ROUNDS)
 
     def body(carry):
-        s, _, r = carry
-        s, l = one_round(s, (r * stride) % kcap)
-        return s, l, r + 1
+        st, _, rounds = carry
+        st, left = one_round(st)
+        return st, left, rounds + 1
 
-    st, left, _ = jax.lax.while_loop(cond, body, (st, left, jnp.int32(2)))
+    st, left, _ = jax.lax.while_loop(cond, body, (ts, left0, jnp.int32(0)))
     return st, left
 
 
