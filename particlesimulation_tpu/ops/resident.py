@@ -132,7 +132,8 @@ def rebin(ts: TileState, side: float, ncside: int, kcap: int):
                             keepdims=True)
                 data[f] = jnp.where(tgt, v, data[f])
             pship = _roll_grid(st.pid, dx, dy, ncside)
-            pv = jnp.sum(jnp.where(win, pship, 0), axis=1, keepdims=True)
+            pv = jnp.sum(jnp.where(win, pship, 0), axis=1, keepdims=True,
+                         dtype=jnp.int32)
             pid = jnp.where(tgt, pv, pid)
             occ = occ | tgt
             departed = departed | (_roll_grid(win, -dx, -dy, ncside) & going)
