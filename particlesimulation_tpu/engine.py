@@ -393,15 +393,19 @@ class Engine:
 
     # -- build ------------------------------------------------------------
 
+    @staticmethod
+    def _round_cap(x: float) -> int:
+        # Pair-pass cost scales with kcap², so size tiles snugly: any
+        # multiple of 32 works for the XLA paths (Pallas blocks span the
+        # full K, satisfying tile constraints either way).
+        return max(32, (int(x) + 31) // 32 * 32)
+
     def _heuristic_kcap(self) -> int:
         # Poisson-tail bound on max cell occupancy for near-uniform loads;
         # the in-graph overflow check + lossless retry covers clustered ones.
         avg = max(1.0, self.config.n_particles / max(1, self.config.ncells))
         bound = avg + 6.0 * avg ** 0.5 + 16
-        k = 8
-        while k < min(bound, cell_pairs.MAX_DENSE_KCAP):
-            k *= 2
-        return k
+        return min(self._round_cap(bound), cell_pairs.MAX_DENSE_KCAP)
 
     def _build(self):
         if self.use_dense:
@@ -443,10 +447,10 @@ class Engine:
             cy = np.clip((ys / w).astype(np.int64), 0, cfg.ncside - 1)
             occ = np.bincount(cy * cfg.ncside + cx,
                               minlength=cfg.ncells).max()
-            k = 8
-            while k < min(int(occ * 2) + 8, 2 * cell_pairs.MAX_DENSE_KCAP):
-                k *= 2
-            self.kcap = k
+            # Modest slack: pair-pass cost scales with kcap², and overflow
+            # retries are lossless.
+            self.kcap = min(self._round_cap(occ * 1.25 + 8),
+                            2 * cell_pairs.MAX_DENSE_KCAP)
         ctype = (jnp.int64 if jax.config.jax_enable_x64 else jnp.int32)
         state = SimState(
             x=jnp.asarray(xs, self.dtype),
@@ -490,10 +494,8 @@ class Engine:
             # PANIC-skips particles in its analogous situation; here the run
             # is replayed losslessly). Beyond the tile cap the engine
             # escalates: resident -> dense -> sweep.
-            k = 8
-            while k < int(need * 1.25) + 1:
-                k *= 2
-            self.kcap = max(k, self.kcap * 2)
+            self.kcap = max(self._round_cap(need * 1.25 + 1),
+                            self._round_cap(self.kcap * 1.5))
             if self.impl == "resident" and _attempt >= 2:
                 # Capacity growth isn't helping — probe-delivery is the
                 # bottleneck (pathological clustering); the dense impl has
