@@ -14,12 +14,17 @@ instead of HBM/latency-bound.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
 from particlesimulation_tpu.config import G
 
-CELL_BLOCK = 64
+# Cells per lax.map iteration. Each iteration is a separate device launch;
+# with fused elementwise+reduce bodies nothing K²-sized materializes, so
+# bigger blocks amortize launch overhead (the dominant cost at N=1e6).
+CELL_BLOCK = int(os.environ.get("PSIM_CELL_BLOCK", "1024"))
 
 
 def _blocked(a, cb):
