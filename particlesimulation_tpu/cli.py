@@ -22,6 +22,7 @@ def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     engine_kind = "parity"
     mesh = 1
+    impl = None
     pos_args = []
     i = 0
     while i < len(argv):
@@ -32,6 +33,9 @@ def main(argv: list[str] | None = None) -> int:
         elif a == "--mesh":
             mesh = int(argv[i + 1])
             i += 2
+        elif a == "--impl":
+            impl = argv[i + 1]
+            i += 2
         else:
             pos_args.append(a)
             i += 1
@@ -39,7 +43,8 @@ def main(argv: list[str] | None = None) -> int:
         print(
             "Usage: python -m particlesimulation_tpu <seed> <side_length> "
             "<grid_size> <n_particles> <n_timesteps> "
-            "[--engine parity|fast] [--mesh N]",
+            "[--engine parity|fast] [--mesh N] "
+            "[--impl resident|dense|sweep]",
             file=sys.stderr,
         )
         return 1
@@ -73,7 +78,7 @@ def main(argv: list[str] | None = None) -> int:
         eng = ShardedEngine(config)
     else:
         from particlesimulation_tpu.engine import Engine
-        eng = Engine(config)
+        eng = Engine(config, impl=impl)
 
     state = eng.init_state()
     # Warm-up compile outside the timed region (the reference's timer brackets

@@ -11,15 +11,21 @@ The post-move sort of step t doubles as the binning of step t+1 (positions
 don't change between the collision pass and the next COM pass), so each step
 performs exactly one lexicographic sort.
 
-Two fast-path implementations:
+Three fast-path implementations, escalation chain ``resident → dense →
+sweep`` (see PERF.md for measured numbers):
 
+* ``resident`` — the state lives in (ncells, K) slot tiles; rebinning moves
+  cell-crossers directly between rows (ops/resident.py) — no per-step sort
+  and no per-particle scatter/gather, the two ops TPUs punish hardest;
+* ``dense`` — sorted particles scattered into slot tiles each step; pair
+  passes as blockwise K² arithmetic (Pallas kernels or lax.map);
 * ``sweep`` — XLA neighbor-offset sweep (works everywhere; the parity
-  engine's formulation at f32);
-* ``dense`` — Pallas per-cell tile kernels (TPU; O(N) HBM traffic for the
-  O(N·k) pair work). Capacity-adaptive: occupancy overflow is detected
-  in-graph and the engine transparently retries the run with a larger tile
-  capacity (the reference instead PANIC-skips particles,
-  serial/parsim.cpp:276-280 — here no particle is ever dropped).
+  engine's formulation at f32).
+
+All tile impls are capacity-adaptive: occupancy overflow is detected
+in-graph and the engine transparently retries the run with larger tiles
+(the reference instead PANIC-skips particles, serial/parsim.cpp:276-280 —
+here no particle is ever dropped).
 """
 
 from __future__ import annotations
