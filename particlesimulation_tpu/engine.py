@@ -266,10 +266,9 @@ def make_resident_run(config: SimConfig, kcap: int, backend: str = "xla"):
             overflow=jnp.maximum(state.overflow, ovf),
         )
 
-    def step(ts: res.TileState) -> res.TileState:
-        binned, limbo_count = res.binned_mask(ts, side, nc)
-        mf = jnp.where(binned, ts.m, jnp.float32(0.0))
+    fused = backend == "xla"
 
+    def mono_tables(ts, mf):
         # COM + stencil from the tiles (row reductions only).
         M = jnp.sum(mf, axis=1)
         SX = jnp.sum(mf * ts.x, axis=1)
@@ -278,30 +277,64 @@ def make_resident_run(config: SimConfig, kcap: int, backend: str = "xla"):
         MX = jnp.where(M > 0, SX / safe, jnp.float32(0.0))
         MY = jnp.where(M > 0, SY / safe, jnp.float32(0.0))
         ml, mxl, myl = stencil.stencil_tables(M, MX, MY, side, nc)
+        return ml[:, :ncells].T, mxl[:, :ncells].T, myl[:, :ncells].T
 
-        fxd, fyd = dmod.dense_pairwise_forces(
-            ts.x, ts.y, mf, ml[:, :ncells].T, mxl[:, :ncells].T,
-            myl[:, :ncells].T, ncells, kcap)
+    def physics_mass(ts):
+        binned, limbo_count = res.binned_mask(ts, side, nc)
+        # Zero mf silences limbo slots in every physics pass: they exert
+        # and receive no force (fly ballistically — the reference's skipped
+        # PANIC2 particles) and never collide.
+        return jnp.where(binned, ts.m, jnp.float32(0.0)), binned, limbo_count
 
-        # Integrate in place; m==0 (dead or empty slot) stays frozen, and a
-        # zero mf zeroes the force on limbo slots (they fly ballistically,
-        # exactly the reference's skipped-particle behavior).
+    def pair_pass(ts, collide: bool):
+        """Fused collision(t) + pairwise-force(t+1) sweep (one d² per pair).
+
+        The post-move positions a step's collision pass scans are exactly
+        the positions the next step's force pass needs; forces come out with
+        this pass's deaths already applied (reference ordering: merged
+        particles are massless from the next step on).
+        """
+        mf, binned, _ = physics_mass(ts)
+        ad = (binned & (ts.m > 0)).astype(jnp.int32)
+        fxd, fyd, count, ftd = dmod.fused_pairs(
+            ts.x, ts.y, mf, ad, ncells, kcap, EPSILON, collide=collide)
+        died = ftd != INF
+        return fxd, fyd, count, died
+
+    def step(carry):
+        ts, fxd, fyd = carry
+        mf, binned, limbo_count = physics_mass(ts)
+        ml_t, mxl_t, myl_t = mono_tables(ts, mf)
+
+        if fused:
+            fxm, fym = dmod.monopole_tile_forces(ts.x, ts.y, mf,
+                                                 ml_t, mxl_t, myl_t)
+            fx_tot, fy_tot = fxd + fxm, fyd + fym
+        else:
+            fx_tot, fy_tot = dmod.dense_pairwise_forces(
+                ts.x, ts.y, mf, ml_t, mxl_t, myl_t, ncells, kcap)
+
+        # Integrate in place; m==0 (dead or empty slot) stays frozen.
         x, y, vx, vy = integrate.integrate(ts.x, ts.y, ts.vx, ts.vy, ts.m,
-                                           fxd, fyd, side, DELTAT)
+                                           fx_tot, fy_tot, side, DELTAT)
         ts = ts._replace(x=x, y=y, vx=vx, vy=vy)
 
         # Rebin: deliver movers to their new rows.
         ts, undelivered = res.rebin(ts, side, nc, kcap)
 
-        # Collisions on the rebinned tiles.
-        binned2, _ = res.binned_mask(ts, side, nc)
-        ad = (binned2 & (ts.m > 0)).astype(jnp.int32)
-        count, ftd = dmod.dense_collisions(ts.x, ts.y, ad, ncells, kcap,
-                                           EPSILON)
-        died = ftd != INF
+        # Collisions on the rebinned tiles (+ next step's pair forces when
+        # fused).
+        if fused:
+            fxd, fyd, count, died = pair_pass(ts, collide=True)
+        else:
+            binned2, _ = res.binned_mask(ts, side, nc)
+            ad = (binned2 & (ts.m > 0)).astype(jnp.int32)
+            count, ftd = dmod.dense_collisions(ts.x, ts.y, ad, ncells, kcap,
+                                               EPSILON)
+            died = ftd != INF
         m = jnp.where(died, jnp.float32(0.0), ts.m)
 
-        return ts._replace(
+        ts = ts._replace(
             m=m,
             collisions=ts.collisions + count.astype(ts.collisions.dtype),
             panics=ts.panics + limbo_count,
@@ -310,6 +343,7 @@ def make_resident_run(config: SimConfig, kcap: int, backend: str = "xla"):
                 jnp.where(undelivered > 0, jnp.int32(kcap + 1),
                           jnp.int32(0))),
         )
+        return ts, fxd, fyd
 
     def epilogue(ts: res.TileState, n: int) -> SimState:
         # Compact tiles back to N particle-major arrays (once per run).
@@ -329,12 +363,28 @@ def make_resident_run(config: SimConfig, kcap: int, backend: str = "xla"):
                         collisions=ts.collisions, panics=ts.panics,
                         overflow=ts.overflow)
 
+    def initial_forces(ts):
+        if fused:
+            fxd, fyd, _, _ = pair_pass(ts, collide=False)
+        else:
+            fxd = jnp.zeros((ncells, kcap), jnp.float32)
+            fyd = fxd
+        return fxd, fyd
+
     def run(state: SimState, n_steps):
         ts = prologue(state)
-        ts = jax.lax.fori_loop(0, n_steps, lambda i, t: step(t), ts)
+        fxd, fyd = initial_forces(ts)
+        ts, _, _ = jax.lax.fori_loop(
+            0, n_steps, lambda i, c: step(c), (ts, fxd, fyd))
         return epilogue(ts, state.x.shape[0])
 
-    return step, prologue, run
+    def step_state(ts):
+        """Single-step entry for debugging (recomputes the carried forces)."""
+        fxd, fyd = initial_forces(ts)
+        out, _, _ = step((ts, fxd, fyd))
+        return out
+
+    return step_state, prologue, run
 
 
 def _use_dense_default() -> bool:
