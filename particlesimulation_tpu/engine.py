@@ -267,6 +267,9 @@ def make_resident_run(config: SimConfig, kcap: int, backend: str = "xla"):
         )
 
     fused = backend == "xla"
+    # Debug-only phase ablation for on-device cost attribution
+    # (PSIM_ABLATE=rebin|pairs|mono skips that phase; results are wrong).
+    ablate = os.environ.get("PSIM_ABLATE", "")
 
     def mono_tables(ts, mf):
         # COM + stencil from the tiles (row reductions only).
@@ -306,7 +309,9 @@ def make_resident_run(config: SimConfig, kcap: int, backend: str = "xla"):
         mf, binned, limbo_count = physics_mass(ts)
         ml_t, mxl_t, myl_t = mono_tables(ts, mf)
 
-        if fused:
+        if fused and ablate == "mono":
+            fx_tot, fy_tot = fxd, fyd
+        elif fused:
             fxm, fym = dmod.monopole_tile_forces(ts.x, ts.y, mf,
                                                  ml_t, mxl_t, myl_t)
             fx_tot, fy_tot = fxd + fxm, fyd + fym
@@ -320,11 +325,17 @@ def make_resident_run(config: SimConfig, kcap: int, backend: str = "xla"):
         ts = ts._replace(x=x, y=y, vx=vx, vy=vy)
 
         # Rebin: deliver movers to their new rows.
-        ts, undelivered = res.rebin(ts, side, nc, kcap)
+        if ablate == "rebin":
+            undelivered = jnp.int32(0)
+        else:
+            ts, undelivered = res.rebin(ts, side, nc, kcap)
 
         # Collisions on the rebinned tiles (+ next step's pair forces when
         # fused).
-        if fused:
+        if fused and ablate == "pairs":
+            count = jnp.int32(0)
+            died = jnp.zeros((ncells, kcap), bool)
+        elif fused:
             fxd, fyd, count, died = pair_pass(ts, collide=True)
         else:
             binned2, _ = res.binned_mask(ts, side, nc)

@@ -107,15 +107,21 @@ def rebin(ts: TileState, side: float, ncside: int, kcap: int):
 
     def one_round(st: TileState):
         """One delivery round: per (row, direction), the first pending
-        arrival lands in the row's first free slot — one-hot masked
-        reductions only (TPU-cheap; no gathers/scatters/dynamic rolls)."""
+        arrival lands in the row's first free slot.
+
+        Two phases keep HBM traffic low: (1) a mask-only sweep over the 8
+        directions (bool tiles, sequential free-slot accounting); (2) one
+        data pass per field — per-direction winner values reduce to
+        (ncells, 1) columns at the source, roll as columns, and a single
+        masked select writes each field tile once (instead of 8 rewrites).
+        """
         moving, sx, sy = mover_info(st)
 
+        # Phase 1 — masks.
         occ = st.occ
+        wins_src = []   # winner one-hots at source coordinates
+        tgts = []       # landing one-hots at destination coordinates
         departed = jnp.zeros(st.occ.shape, dtype=bool)
-        data = {f: getattr(st, f) for f in FIELDS}
-        pid = st.pid
-
         for dx, dy in STENCIL:
             going = moving & (sx == dx) & (sy == dy)
             arr = _roll_grid(going, dx, dy, ncside)
@@ -126,21 +132,37 @@ def rebin(ts: TileState, side: float, ncside: int, kcap: int):
             win = arr & (lane == jnp.argmax(arr, axis=1)[:, None]) & ok
             # ...lands in the row's first free slot.
             tgt = (lane == jnp.argmin(occ, axis=1)[:, None]) & ~occ & ok
-            for f in FIELDS:
-                shipped = _roll_grid(getattr(st, f), dx, dy, ncside)
-                v = jnp.sum(jnp.where(win, shipped, 0), axis=1,
-                            keepdims=True)
-                data[f] = jnp.where(tgt, v, data[f])
-            pship = _roll_grid(st.pid, dx, dy, ncside)
-            pv = jnp.sum(jnp.where(win, pship, 0), axis=1, keepdims=True,
-                         dtype=jnp.int32)
-            pid = jnp.where(tgt, pv, pid)
             occ = occ | tgt
-            departed = departed | (_roll_grid(win, -dx, -dy, ncside) & going)
+            src_win = _roll_grid(win, -dx, -dy, ncside) & going
+            wins_src.append(src_win)
+            tgts.append(tgt)
+            departed = departed | src_win
+        tgt_any = jnp.zeros(st.occ.shape, dtype=bool)
+        for t in tgts:
+            tgt_any = tgt_any | t
 
-        occ = occ & ~departed
-        st = st._replace(occ=occ, pid=pid, **data)
-        st = st._replace(m=jnp.where(occ, st.m, jnp.asarray(0.0, st.m.dtype)))
+        # Phase 2 — data: one write per field.
+        def place(field, is_int=False):
+            z = jnp.zeros((), field.dtype)
+            ins = None
+            for (dx, dy), src_win, tgt in zip(STENCIL, wins_src, tgts):
+                if is_int:
+                    w = jnp.sum(jnp.where(src_win, field, 0), axis=1,
+                                keepdims=True, dtype=field.dtype)
+                else:
+                    w = jnp.sum(jnp.where(src_win, field, z), axis=1,
+                                keepdims=True)
+                w_dst = _roll_grid(w, dx, dy, ncside)  # (ncells, 1) column
+                term = jnp.where(tgt, w_dst, z)
+                ins = term if ins is None else ins + term
+            return jnp.where(tgt_any, ins, field)
+
+        st = st._replace(
+            occ=occ & ~departed,
+            pid=place(st.pid, is_int=True),
+            **{f: place(getattr(st, f)) for f in FIELDS})
+        st = st._replace(m=jnp.where(st.occ, st.m,
+                                     jnp.asarray(0.0, st.m.dtype)))
         still, _, _ = mover_info(st)
         left = jnp.sum(still, dtype=jnp.int32)
         return st, left
