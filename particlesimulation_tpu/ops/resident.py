@@ -117,29 +117,31 @@ def rebin(ts: TileState, side: float, ncside: int, kcap: int):
         """
         moving, sx, sy = mover_info(st)
 
-        # Phase 1 — masks.
+        # Phase 1 — masks. Direction d's arrival takes the row's d-th free
+        # slot (one cumsum ranks all free slots; no sequential occupancy
+        # accounting between directions).
         occ = st.occ
+        fr = jnp.cumsum((~occ).astype(jnp.int32), axis=1)  # 1-based free rank
+        n_free = fr[:, -1:]
         wins_src = []   # winner one-hots at source coordinates
         tgts = []       # landing one-hots at destination coordinates
         departed = jnp.zeros(st.occ.shape, dtype=bool)
-        for dx, dy in STENCIL:
+        tgt_any = jnp.zeros(st.occ.shape, dtype=bool)
+        for d, (dx, dy) in enumerate(STENCIL):
             going = moving & (sx == dx) & (sy == dy)
             arr = _roll_grid(going, dx, dy, ncside)
-            has = jnp.any(arr, axis=1)
-            can = ~jnp.all(occ, axis=1)
-            ok = (has & can)[:, None]
+            has = jnp.any(arr, axis=1, keepdims=True)
+            ok = has & (d < n_free)
             # First pending arrival (source-slot order) in each row...
             win = arr & (lane == jnp.argmax(arr, axis=1)[:, None]) & ok
-            # ...lands in the row's first free slot.
-            tgt = (lane == jnp.argmin(occ, axis=1)[:, None]) & ~occ & ok
-            occ = occ | tgt
+            # ...lands in the row's (d+1)-th free slot.
+            tgt = (~occ) & (fr == d + 1) & ok
             src_win = _roll_grid(win, -dx, -dy, ncside) & going
             wins_src.append(src_win)
             tgts.append(tgt)
             departed = departed | src_win
-        tgt_any = jnp.zeros(st.occ.shape, dtype=bool)
-        for t in tgts:
-            tgt_any = tgt_any | t
+            tgt_any = tgt_any | tgt
+        occ = occ | tgt_any
 
         # Phase 2 — data: one write per field.
         def place(field, is_int=False):
