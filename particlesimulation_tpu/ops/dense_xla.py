@@ -102,23 +102,12 @@ def fused_pairs(xd, yd, mfd, alived, ncells: int, kcap: int, eps: float,
             i_idx = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
             j_idx = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 2)
             hit = pair_alive & (d2 < eps2) & (j_idx > i_idx)
-
-            def with_hits(_):
-                rank = i_idx * base + j_idx
-                cand = jnp.where(hit, rank, INF)
-                ft = jnp.minimum(jnp.min(cand, axis=2),
-                                 jnp.min(cand, axis=1))
-                first_both = (hit & (ft[:, :, None] == cand)
-                              & (ft[:, None, :] == cand))
-                return ft, jnp.sum(first_both, dtype=jnp.int32)
-
-            def no_hits(_):
-                return jnp.full(x.shape, INF, dtype=jnp.int32), jnp.int32(0)
-
-            # Collisions are rare: most blocks have no pair inside EPSILON,
-            # so the rank/min/count machinery is branch-skipped (lax.map is
-            # a scan — the cond is a real branch, not a select).
-            ft, cnt = jax.lax.cond(jnp.any(hit), with_hits, no_hits, None)
+            rank = i_idx * base + j_idx
+            cand = jnp.where(hit, rank, INF)
+            ft = jnp.minimum(jnp.min(cand, axis=2), jnp.min(cand, axis=1))
+            first_both = (hit & (ft[:, :, None] == cand)
+                          & (ft[:, None, :] == cand))
+            cnt = jnp.sum(first_both, dtype=jnp.int32)
             m_post = jnp.where(ft != INF, jnp.float32(0.0), mf)
         else:
             ft = jnp.full(x.shape, INF, dtype=jnp.int32)
