@@ -1,0 +1,37 @@
+"""CLI contract: the reference's exact 5-arg / 2-line interface."""
+
+import os
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_cli(args, extra_env=None):
+    env = {**os.environ, "PYTHONPATH": ROOT, **(extra_env or {})}
+    return subprocess.run(
+        [sys.executable, "-m", "particlesimulation_tpu"] + args,
+        capture_output=True, text=True, cwd=ROOT, env=env, timeout=300)
+
+
+def test_cli_parity_golden_vector_1():
+    r = _run_cli(["1", "2", "3", "10", "1"])
+    assert r.returncode == 0, r.stderr
+    lines = r.stdout.strip().splitlines()
+    assert lines == ["1.570 0.056", "0"]
+    # Wall time goes to stderr as "%.1fs" (reference serial/parsim.cpp:475-479).
+    assert any(line.endswith("s") for line in r.stderr.splitlines())
+
+
+def test_cli_usage_error():
+    r = _run_cli(["1", "2", "3"])
+    assert r.returncode == 1
+    assert "Usage" in r.stderr
+
+
+def test_cli_mesh_matches_single():
+    base = ["5893", "0.05", "3", "10", "10"]
+    single = _run_cli(base)
+    mesh = _run_cli(base + ["--mesh", "3"])
+    assert single.stdout == mesh.stdout
+    assert single.stdout.strip().splitlines() == ["0.002 0.035", "2"]

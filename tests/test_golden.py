@@ -3,7 +3,14 @@
 Expected values are the hardcoded tables from the reference test harnesses
 (reference serial/run_tests.sh:30-42, openMP/new_tests.sh:30-35), asserted
 with the harness tolerances: coordinates ±0.001, collision count exact.
-Heavy vectors are gated behind PSIM_RUN_SLOW=1.
+
+Heavy vectors are gated behind PSIM_RUN_SLOW=1 and run in the f64 parity
+engine, whose offset-sweep costs O(N·k_max) lanes per step on CPU: the
+N=1e6 low-step vectors take minutes, while the high-occupancy long-horizon
+ones (s5/s6 at ncside=50 × 300/500 steps, s7 ncside=30 × 1000 steps, s8/N3
+at 10⁴ steps) take multiple hours each — budget accordingly. Verified
+passing in round 1: s0-s4 (including the 10⁴-step vector #8) plus all fast
+vectors.
 """
 
 import pytest
