@@ -143,6 +143,121 @@ def _collision_kernel(x_ref, y_ref, alive_ref, ft_ref, count_ref, *,
     count_ref[:] = count
 
 
+def _fused_kernel(x_ref, y_ref, mf_ref, alive_ref,
+                  fx_ref, fy_ref, ft_ref, count_ref, *,
+                  kcap, eps2, jchunk, collide):
+    """Fused collision(t) + pairwise-force(t+1) kernel.
+
+    Mirrors ops/dense_xla.fused_pairs: one pass over post-move positions
+    yields the collision ranks/count AND the next step's pairwise forces
+    (with this pass's deaths applied to the force masses — the reference's
+    merge-then-force ordering). mf: physics (limbo-masked) masses;
+    alive: int32 collision mask.
+    """
+    x = x_ref[:]
+    y = y_ref[:]
+    mf = mf_ref[:]
+    INF = jnp.int32(0x7FFFFFFF)
+    base = jnp.int32(kcap + 1)
+    g = jnp.float32(G)
+
+    if collide:
+        alive = alive_ref[:]
+
+        def chunk_cand(ic):
+            xi = x[:, ic:ic + jchunk]
+            yi = y[:, ic:ic + jchunk]
+            ai = alive[:, ic:ic + jchunk]
+            dx = x[:, None, :] - xi[:, :, None]   # (CB, Ic, K)
+            dy = y[:, None, :] - yi[:, :, None]
+            d2 = dx * dx + dy * dy
+            pair_alive = (ai[:, :, None] * alive[:, None, :]) > 0
+            i_idx = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1) + ic
+            j_idx = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 2)
+            hit = pair_alive & (d2 < eps2) & (j_idx > i_idx)
+            rank = i_idx * base + j_idx
+            return jnp.where(hit, rank, INF), hit
+
+        ft_i_chunks = []
+        ftj = jnp.full(x.shape, INF, dtype=jnp.int32)
+        for ic in range(0, kcap, jchunk):
+            cand, _ = chunk_cand(ic)
+            ft_i_chunks.append(jnp.min(cand, axis=2))
+            ftj = jnp.minimum(ftj, jnp.min(cand, axis=1))
+        ft = jnp.minimum(jnp.concatenate(ft_i_chunks, axis=1), ftj)
+
+        count = jnp.zeros((x.shape[0], 1), dtype=jnp.int32)
+        for ic in range(0, kcap, jchunk):
+            cand, hit = chunk_cand(ic)
+            fti = ft[:, ic:ic + jchunk]
+            first_both = (hit & (fti[:, :, None] == cand)
+                          & (ft[:, None, :] == cand))
+            count = count + jnp.sum(
+                jnp.sum(first_both, axis=2, dtype=jnp.int32), axis=1,
+                keepdims=True)
+        m_post = jnp.where(ft != INF, jnp.float32(0.0), mf)
+    else:
+        ft = jnp.full(x.shape, INF, dtype=jnp.int32)
+        count = jnp.zeros((x.shape[0], 1), dtype=jnp.int32)
+        m_post = mf
+    ft_ref[:] = ft
+    count_ref[:] = count
+
+    gm = g * m_post
+    fx_chunks = []
+    fy_chunks = []
+    for ic in range(0, kcap, jchunk):
+        xi = x[:, ic:ic + jchunk]
+        yi = y[:, ic:ic + jchunk]
+        gmi = gm[:, ic:ic + jchunk]
+        dx = x[:, None, :] - xi[:, :, None]
+        dy = y[:, None, :] - yi[:, :, None]
+        d2 = dx * dx + dy * dy
+        nz = d2 > 0.0
+        inv = jnp.where(nz, jax.lax.rsqrt(jnp.where(nz, d2, 1.0)), 0.0)
+        s = gmi[:, :, None] * m_post[:, None, :] * (inv * inv * inv)
+        fx_chunks.append(jnp.sum(s * dx, axis=2))
+        fy_chunks.append(jnp.sum(s * dy, axis=2))
+    fx_ref[:] = jnp.concatenate(fx_chunks, axis=1)
+    fy_ref[:] = jnp.concatenate(fy_chunks, axis=1)
+
+
+def fused_pairs(xd, yd, mfd, alived, ncells: int, kcap: int, eps: float,
+                collide: bool = True):
+    """Pallas twin of ops/dense_xla.fused_pairs (same signature/semantics).
+
+    Interpreter-validated here; intended for first-party TPU runtimes where
+    Pallas custom calls execute (the axon tunnel cannot — DEVNOTES.md).
+    """
+    cb, jchunk = _pick_tiling(kcap)
+    nblocks = pl.cdiv(ncells, cb)
+    pad_cells = nblocks * cb - ncells
+    xd, yd, mfd, alived = _padded([xd, yd, mfd, alived], pad_cells, kcap)
+    spec = pl.BlockSpec((cb, kcap), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    cspec = pl.BlockSpec((cb, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    fx, fy, ft, counts = pl.pallas_call(
+        functools.partial(_fused_kernel, kcap=kcap,
+                          eps2=float(eps) * float(eps), jchunk=jchunk,
+                          collide=collide),
+        grid=(nblocks,),
+        in_specs=[spec, spec, spec, spec],
+        out_specs=(spec, spec, spec, cspec),
+        out_shape=(
+            jax.ShapeDtypeStruct(xd.shape, xd.dtype),
+            jax.ShapeDtypeStruct(xd.shape, xd.dtype),
+            jax.ShapeDtypeStruct(xd.shape, jnp.int32),
+            jax.ShapeDtypeStruct((xd.shape[0], 1), jnp.int32),
+        ),
+        interpret=_interpret(),
+    )(xd, yd, mfd, alived)
+    if pad_cells:
+        fx, fy, ft, counts = (fx[:ncells], fy[:ncells], ft[:ncells],
+                              counts[:ncells])
+    return fx, fy, jnp.sum(counts, dtype=jnp.int32), ft
+
+
 def _pick_tiling(kcap: int) -> tuple[int, int]:
     """(cells per program, receiver chunk).
 

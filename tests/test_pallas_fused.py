@@ -1,0 +1,52 @@
+"""Pallas fused kernel vs the XLA fused pass (interpret mode on CPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from particlesimulation_tpu.config import EPSILON
+from particlesimulation_tpu.ops import dense_xla
+from particlesimulation_tpu.ops.pallas import cell_pairs
+
+RNG = np.random.default_rng(11)
+
+
+def _tiles(ncells=12, kcap=32, close_pairs=True):
+    x = RNG.uniform(0, 1, (ncells, kcap)).astype(np.float32)
+    y = RNG.uniform(0, 1, (ncells, kcap)).astype(np.float32)
+    m = RNG.uniform(0.5, 2.0, (ncells, kcap)).astype(np.float32)
+    m[:, 24:] = 0.0  # empty slots
+    if close_pairs:
+        # Plant colliding pairs (incl. a chain) in a few rows.
+        for c in (1, 5):
+            x[c, 1] = x[c, 0] + EPSILON / 3
+            y[c, 1] = y[c, 0]
+            x[c, 2] = x[c, 1] + EPSILON / 3
+            y[c, 2] = y[c, 1]
+    alive = (m > 0).astype(np.int32)
+    return (jnp.asarray(x), jnp.asarray(y), jnp.asarray(m),
+            jnp.asarray(alive))
+
+
+def test_fused_pallas_matches_fused_xla():
+    ncells, kcap = 12, 32
+    xd, yd, mfd, ad = _tiles(ncells, kcap)
+    ref = dense_xla.fused_pairs(xd, yd, mfd, ad, ncells, kcap, EPSILON)
+    got = cell_pairs.fused_pairs(xd, yd, mfd, ad, ncells, kcap, EPSILON)
+    np.testing.assert_array_equal(np.asarray(got[3]), np.asarray(ref[3]))  # ft
+    assert int(got[2]) == int(ref[2])                                      # count
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]),
+                               rtol=2e-5, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]),
+                               rtol=2e-5, atol=1e-12)
+
+
+def test_fused_pallas_collide_false_prologue():
+    ncells, kcap = 8, 32
+    xd, yd, mfd, ad = _tiles(ncells, kcap)
+    fx, fy, cnt, ft = cell_pairs.fused_pairs(xd, yd, mfd, ad, ncells, kcap,
+                                             EPSILON, collide=False)
+    assert int(cnt) == 0
+    assert (np.asarray(ft) == 0x7FFFFFFF).all()
+    fxr, fyr, _, _ = dense_xla.fused_pairs(xd, yd, mfd, ad, ncells, kcap,
+                                           EPSILON, collide=False)
+    np.testing.assert_allclose(np.asarray(fx), np.asarray(fxr), rtol=2e-5)
