@@ -266,7 +266,10 @@ def make_resident_run(config: SimConfig, kcap: int, backend: str = "xla"):
             overflow=jnp.maximum(state.overflow, ovf),
         )
 
-    fused = backend == "xla"
+    # Both backends provide fused_pairs; the monopole tile pass is plain
+    # elementwise jnp, shared from dense_xla regardless of backend.
+    from particlesimulation_tpu.ops import dense_xla as _mono
+    fused = True
     # Debug-only phase ablation for on-device cost attribution
     # (PSIM_ABLATE=rebin|pairs|mono skips that phase; results are wrong).
     ablate = os.environ.get("PSIM_ABLATE", "")
@@ -312,8 +315,8 @@ def make_resident_run(config: SimConfig, kcap: int, backend: str = "xla"):
         if fused and ablate == "mono":
             fx_tot, fy_tot = fxd, fyd
         elif fused:
-            fxm, fym = dmod.monopole_tile_forces(ts.x, ts.y, mf,
-                                                 ml_t, mxl_t, myl_t)
+            fxm, fym = _mono.monopole_tile_forces(ts.x, ts.y, mf,
+                                                  ml_t, mxl_t, myl_t)
             fx_tot, fy_tot = fxd + fxm, fyd + fym
         else:
             fx_tot, fy_tot = dmod.dense_pairwise_forces(

@@ -82,3 +82,22 @@ def test_resident_mass_conservation_and_dead_frozen():
     dead1 = ~rv1["alive"]
     if dead1.any():
         np.testing.assert_array_equal(rv2["x"][dead1], rv1["x"][dead1])
+
+
+def test_resident_pallas_backend_interpret():
+    # The fused Pallas kernel drives the resident step in interpret mode.
+    from particlesimulation_tpu.config import Precision, SimConfig
+    from particlesimulation_tpu.engine import Engine
+    base = dict(seed=5893, side=0.08, ncside=4, n_particles=120,
+                precision=Precision.FAST)
+    xla_eng = Engine(SimConfig(**base), impl="resident", dense_backend="xla")
+    pls_eng = Engine(SimConfig(**base), impl="resident",
+                     dense_backend="pallas")
+    a = xla_eng.run(xla_eng.init_state(), 5)
+    b = pls_eng.run(pls_eng.init_state(), 5)
+    assert int(a.collisions) == int(b.collisions)
+    av, apid = _by_pid(a)[0], _by_pid(a)[1]
+    bv, bpid = _by_pid(b)[0], _by_pid(b)[1]
+    np.testing.assert_array_equal(apid, bpid)
+    np.testing.assert_allclose(bv["x"], av["x"], rtol=0, atol=1e-5)
+    np.testing.assert_array_equal(bv["alive"], av["alive"])
