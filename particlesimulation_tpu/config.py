@@ -63,10 +63,11 @@ class SimConfig:
             raise ValueError("n_particles must be >= 1")
         if self.side <= 0:
             raise ValueError("side must be > 0")
-        if self.n_shards > 1 and self.ncside % self.n_shards != 0:
+        if self.n_shards > self.ncside:
             raise ValueError(
-                f"ncside ({self.ncside}) must be divisible by n_shards "
-                f"({self.n_shards}) for row-block domain decomposition"
+                f"n_shards ({self.n_shards}) must be <= ncside "
+                f"({self.ncside}): the row-block decomposition needs at "
+                f"least one grid row per shard"
             )
 
     @property
@@ -79,9 +80,46 @@ class SimConfig:
         # at every use site (serial/parsim.cpp:268); keep it a single f64.
         return self.side / self.ncside
 
+    # Balanced uneven row decomposition: the first ``rows_rem`` shards own
+    # ``rows_base + 1`` rows, the rest ``rows_base``. The reference instead
+    # floors rows_per_proc and lets the LAST rank absorb the whole remainder
+    # (mpi/parsim-mpi.cpp:338-342), which can nearly double its load; the
+    # balanced split keeps shard loads within one row of each other while
+    # still supporting every ncside / n_shards combination the reference's
+    # published workloads use (e.g. ncside=1300 on 12 procs).
+
     @property
-    def rows_per_shard(self) -> int:
+    def rows_base(self) -> int:
         return self.ncside // self.n_shards
+
+    @property
+    def rows_rem(self) -> int:
+        return self.ncside % self.n_shards
+
+    @property
+    def rows_max(self) -> int:
+        """Static per-shard row-grid height (shard_map needs one shape)."""
+        return self.rows_base + (1 if self.rows_rem else 0)
+
+    def shard_of_row(self, row, xp=None):
+        """Owning shard of a global grid row.
+
+        ``xp``: array namespace (numpy for host code, jax.numpy in-graph);
+        defaults to numpy. Scalars work through numpy broadcasting.
+        """
+        if xp is None:
+            import numpy as xp
+        split = self.rows_rem * (self.rows_base + 1)
+        big = row // (self.rows_base + 1)
+        small = self.rows_rem + (row - split) // max(1, self.rows_base)
+        return xp.where(row < split, big, small)
+
+    def row0_of_shard(self, s):
+        """First global row owned by shard ``s`` (python/traced ints)."""
+        import jax.numpy as _jnp
+        if isinstance(s, int):
+            return s * self.rows_base + min(s, self.rows_rem)
+        return s * self.rows_base + _jnp.minimum(s, self.rows_rem)
 
     def resolved_shard_capacity(self) -> int:
         if self.shard_capacity:

@@ -42,6 +42,11 @@ from particlesimulation_tpu.ops import binning, collisions, com, forces, integra
 from particlesimulation_tpu.ops.pallas import cell_pairs
 from particlesimulation_tpu.state import SimState
 
+# Telemetry sentinel for a uint32 collision-rank domain overflow
+# (kmax ≥ 65535) — far above any legal tile-capacity retry value so the
+# two overflow kinds cannot be confused.
+RANK_OVF = jnp.int32(1 << 30)
+
 
 def make_step(config: SimConfig):
     """Build the jittable ``step: SimState -> SimState`` (sweep impl)."""
@@ -49,6 +54,12 @@ def make_step(config: SimConfig):
     nc = config.ncside
     ncells = config.ncells
     parity = config.precision is Precision.PARITY
+    # Occupancy-tiered sweeps (bit-identical; Σ B·kmax_block instead of
+    # N·kmax_global lanes) are what make the high-occupancy golden vectors
+    # verifiable in reasonable CPU time. PSIM_PARITY_BLOCKED=0 restores the
+    # global formulation.
+    blocked = parity and os.environ.get("PSIM_PARITY_BLOCKED", "1") != "0"
+    blk = int(os.environ.get("PSIM_PARITY_BLOCK", "2048"))
 
     def step(state: SimState) -> SimState:
         x, y, vx, vy, m, alive, pid = (state.x, state.y, state.vx, state.vy,
@@ -64,7 +75,10 @@ def make_step(config: SimConfig):
 
         # Phase 2 — forces (pairwise sweep, then 8 stencil monopole terms).
         ml, mxl, myl = stencil.stencil_tables(M, MX, MY, side, nc)
-        if parity:
+        if blocked:
+            fx, fy = forces.pairwise_forces_parity_blocked(
+                x, y, m, alive, key, kmax, ncells, block=blk)
+        elif parity:
             fx, fy = forces.pairwise_forces_parity(x, y, m, alive, key, kmax,
                                                    ncells)
         else:
@@ -83,15 +97,23 @@ def make_step(config: SimConfig):
             key2, pid, x, y, vx, vy, m, alive)
         pos2, _ = binning.segment_positions(key2)
         kmax2 = binning.max_occupancy(pos2, key2 < ncells)
-        count, died = collisions.detect_collisions(
-            x, y, alive, key2, pos2, kmax2, EPSILON, ncells)
+        if blocked:
+            count, died = collisions.detect_collisions_blocked(
+                x, y, alive, key2, pos2, kmax2, EPSILON, ncells, block=blk)
+        else:
+            count, died = collisions.detect_collisions(
+                x, y, alive, key2, pos2, kmax2, EPSILON, ncells)
         m, alive = collisions.apply_deaths(m, alive, died)
 
         return SimState(
             x=x, y=y, vx=vx, vy=vy, m=m, alive=alive, pid=pid,
             collisions=state.collisions + count.astype(state.collisions.dtype),
             panics=state.panics + jnp.sum(~valid, dtype=jnp.int32),
-            overflow=state.overflow,
+            # Rank-domain guard: a kmax ≥ 65535 cell would wrap the uint32
+            # collision ranks — surface it via telemetry instead of
+            # silently corrupting the set rule.
+            overflow=jnp.maximum(state.overflow,
+                                 collisions.rank_overflow(kmax2) * RANK_OVF),
         )
 
     return step
@@ -302,8 +324,17 @@ def make_resident_run(config: SimConfig, kcap: int, backend: str = "xla"):
         """
         mf, binned, _ = physics_mass(ts)
         ad = (binned & (ts.m > 0)).astype(jnp.int32)
-        fxd, fyd, count, ftd = dmod.fused_pairs(
-            ts.x, ts.y, mf, ad, ncells, kcap, EPSILON, collide=collide)
+        # pid tiles restore the reference's bucket-order (pid-ascending)
+        # collision tie-breaks: resident slot order departs from pid order
+        # after migration (serial/parsim.cpp:393-411).
+        if backend != "pallas" and os.environ.get("PSIM_PAIR_IMPL",
+                                                  "v2") == "v2":
+            fused_fn = dmod.fused_pairs_v2
+        else:
+            fused_fn = dmod.fused_pairs
+        fxd, fyd, count, ftd = fused_fn(
+            ts.x, ts.y, mf, ad, ncells, kcap, EPSILON, collide=collide,
+            pid=ts.pid)
         died = ftd != INF
         return fxd, fyd, count, died
 
@@ -344,7 +375,7 @@ def make_resident_run(config: SimConfig, kcap: int, backend: str = "xla"):
             binned2, _ = res.binned_mask(ts, side, nc)
             ad = (binned2 & (ts.m > 0)).astype(jnp.int32)
             count, ftd = dmod.dense_collisions(ts.x, ts.y, ad, ncells, kcap,
-                                               EPSILON)
+                                               EPSILON, pid=ts.pid)
             died = ftd != INF
         m = jnp.where(died, jnp.float32(0.0), ts.m)
 
@@ -555,6 +586,11 @@ class Engine:
             jax.block_until_ready(out)
             if not self.use_dense:
                 np.asarray(out.collisions)
+                if int(np.asarray(out.overflow)) >= int(RANK_OVF):
+                    raise RuntimeError(
+                        "collision rank overflow: a cell exceeded 65534 "
+                        "occupants; uint32 pair ranks cannot order its "
+                        "collision set")
                 return out
             need = int(np.asarray(out.overflow))
             if need == 0:

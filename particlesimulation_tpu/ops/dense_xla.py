@@ -71,8 +71,31 @@ def dense_pairwise_forces(xd, yd, md, ml_t, mxl_t, myl_t, ncells: int,
     return fx, fy
 
 
+def _pid_ranks(pid, alive):
+    """Alive-pid rank per slot: #{alive j in the cell : pid_j < pid_i}.
+
+    The reference's collision set rule visits pairs in *bucket* order =
+    ascending pid (serial/parsim.cpp:393-411). The resident impl's slot
+    order departs from pid order after migration (movers land in free
+    slots), so slot-index ranks could resolve chain/triangle tie-breaks
+    differently; ranking by pid restores the exact bucket-order semantics.
+    An O(K²) int compare-sum, fused into the already-K² pair pass.
+    """
+    less = (alive[:, None, :] > 0) & (pid[:, None, :] < pid[:, :, None])
+    return jnp.sum(less, axis=2, dtype=jnp.int32)
+
+
+def _pair_ranks(pid, alive, i_idx, j_idx, base):
+    if pid is None:
+        return i_idx * base + j_idx
+    pr = _pid_ranks(pid, alive)
+    ri = pr[:, :, None]
+    rj = pr[:, None, :]
+    return jnp.minimum(ri, rj) * base + jnp.maximum(ri, rj)
+
+
 def fused_pairs(xd, yd, mfd, alived, ncells: int, kcap: int, eps: float,
-                collide: bool = True, cb: int = CELL_BLOCK):
+                collide: bool = True, cb: int = CELL_BLOCK, pid=None):
     """One pair sweep producing both step t's collisions and step t+1's
     pairwise forces.
 
@@ -93,7 +116,8 @@ def fused_pairs(xd, yd, mfd, alived, ncells: int, kcap: int, eps: float,
     base = jnp.int32(kcap + 1)
 
     def block(args):
-        x, y, mf, alive = args
+        x, y, mf, alive = args[:4]
+        pd = args[4] if pid is not None else None
         dx = x[:, None, :] - x[:, :, None]
         dy = y[:, None, :] - y[:, :, None]
         d2 = dx * dx + dy * dy
@@ -102,7 +126,7 @@ def fused_pairs(xd, yd, mfd, alived, ncells: int, kcap: int, eps: float,
             i_idx = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
             j_idx = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 2)
             hit = pair_alive & (d2 < eps2) & (j_idx > i_idx)
-            rank = i_idx * base + j_idx
+            rank = _pair_ranks(pd, alive, i_idx, j_idx, base)
             cand = jnp.where(hit, rank, INF)
             ft = jnp.minimum(jnp.min(cand, axis=2), jnp.min(cand, axis=1))
             first_both = (hit & (ft[:, :, None] == cand)
@@ -120,7 +144,160 @@ def fused_pairs(xd, yd, mfd, alived, ncells: int, kcap: int, eps: float,
         fy = jnp.sum(s * dy, axis=2)
         return fx, fy, ft, cnt
 
-    args = tuple(_blocked(a, cb) for a in (xd, yd, mfd, alived))
+    ins = (xd, yd, mfd, alived) + ((pid,) if pid is not None else ())
+    args = tuple(_blocked(a, cb) for a in ins)
+    fx, fy, ft, cnts = jax.lax.map(block, args)
+    return (fx.reshape(-1, kcap)[:ncells], fy.reshape(-1, kcap)[:ncells],
+            jnp.sum(cnts, dtype=jnp.int32), ft.reshape(-1, kcap)[:ncells])
+
+
+def fused_pairs_v2(xd, yd, mfd, alived, ncells: int, kcap: int, eps: float,
+                   collide: bool = True, cb: int = CELL_BLOCK, pid=None,
+                   ichunk: int = 32):
+    """Occupancy-adaptive fused pair pass (same contract as fused_pairs).
+
+    Two structural optimizations over the flat K² formulation, both exact:
+
+    * **i-chunk skipping** — per block, receiver chunks run only up to
+      ``kb`` = the highest used slot index in the block (a dynamic
+      ``fori_loop`` bound). Slots past kb are empty (m=0, alive=0): their
+      force rows are zero and they form no pairs, so skipping them changes
+      nothing. Arrivals fill the lowest free slots (ops/resident.py), so
+      kb tracks real occupancy, not capacity — this reclaims most of the
+      K_cap² ≫ Σk_c² waste PERF.md identified.
+    * **hit-gated collision bookkeeping** — a cheap d² pass first computes
+      a per-block "any pair within ε" flag; the rank/min/count machinery
+      (including the pid-rank tie-break pass) runs under a ``lax.cond``
+      only for blocks that actually have a hit — rare by construction
+      (collisions per step ≪ blocks per step). The branch *recomputes*
+      pair data from the (CB, K) tiles rather than closing over (CB, K, K)
+      intermediates — a closed-over hit tensor becomes a branch operand
+      and costs more than it saves (PERF.md round-1 note).
+    """
+    g = jnp.float32(G)
+    eps2 = jnp.float32(eps) * jnp.float32(eps)
+    INF = jnp.int32(0x7FFFFFFF)
+    base = jnp.int32(kcap + 1)
+    # Chunk width must divide kcap (overlapping clamped slices would double-
+    # count pairs); engine kcaps are multiples of 32, tests use tiny kcaps.
+    ichunk = min(ichunk, kcap)
+    while kcap % ichunk:
+        ichunk //= 2
+    nb_i = -(-kcap // ichunk)
+
+    def block(args):
+        x, y, mf, alive = args[:4]
+        pd = args[4] if pid is not None else None
+        lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+        used = (mf > 0.0) | (alive > 0)
+        kb = jnp.max(jnp.where(used, lane + 1, 0))
+        trips = jnp.minimum((kb + ichunk - 1) // ichunk, nb_i)
+
+        def islice(a, i0, width=ichunk):
+            return jax.lax.dynamic_slice_in_dim(a, i0, width, axis=1)
+
+        if collide:
+            # Pass 1 — hit flag only (cheapest possible pair scan).
+            def hit_body(t, anyhit):
+                i0 = t * ichunk
+                xi = islice(x, i0)
+                yi = islice(y, i0)
+                ai = islice(alive, i0)
+                dx = x[:, None, :] - xi[:, :, None]
+                dy = y[:, None, :] - yi[:, :, None]
+                d2 = dx * dx + dy * dy
+                pa = (ai[:, :, None] * alive[:, None, :]) > 0
+                ii = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1) + i0
+                jj = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 2)
+                hit = pa & (d2 < eps2) & (jj > ii)
+                return anyhit | jnp.any(hit)
+
+            any_hit = jax.lax.fori_loop(0, trips, hit_body, jnp.bool_(False))
+
+            def do_collide(_):
+                pr = (None if pd is None else _pid_ranks(pd, alive))
+
+                def cand_chunk(i0):
+                    xi = islice(x, i0)
+                    yi = islice(y, i0)
+                    ai = islice(alive, i0)
+                    dx = x[:, None, :] - xi[:, :, None]
+                    dy = y[:, None, :] - yi[:, :, None]
+                    d2 = dx * dx + dy * dy
+                    pa = (ai[:, :, None] * alive[:, None, :]) > 0
+                    ii = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1) + i0
+                    jj = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 2)
+                    hit = pa & (d2 < eps2) & (jj > ii)
+                    if pr is None:
+                        rank = ii * base + jj
+                    else:
+                        ri = islice(pr, i0)[:, :, None]
+                        rj = pr[:, None, :]
+                        rank = jnp.minimum(ri, rj) * base + jnp.maximum(ri, rj)
+                    return jnp.where(hit, rank, INF), hit
+
+                def min_body(t, carry):
+                    fti, ftj = carry
+                    i0 = t * ichunk
+                    cand, _ = cand_chunk(i0)
+                    fti = jax.lax.dynamic_update_slice_in_dim(
+                        fti, jnp.min(cand, axis=2), i0, axis=1)
+                    ftj = jnp.minimum(ftj, jnp.min(cand, axis=1))
+                    return fti, ftj
+
+                ftINF = jnp.full(x.shape, INF, dtype=jnp.int32)
+                fti, ftj = jax.lax.fori_loop(0, trips, min_body,
+                                             (ftINF, ftINF))
+                ft = jnp.minimum(fti, ftj)
+
+                def cnt_body(t, cnt):
+                    i0 = t * ichunk
+                    cand, hit = cand_chunk(i0)
+                    fti_c = islice(ft, i0)
+                    fb = (hit & (fti_c[:, :, None] == cand)
+                          & (ft[:, None, :] == cand))
+                    return cnt + jnp.sum(fb, dtype=jnp.int32)
+
+                cnt = jax.lax.fori_loop(0, trips, cnt_body, jnp.int32(0))
+                return ft, cnt
+
+            def no_collide(_):
+                return jnp.full(x.shape, INF, dtype=jnp.int32), jnp.int32(0)
+
+            ft, cnt = jax.lax.cond(any_hit, do_collide, no_collide, None)
+            m_post = jnp.where(ft != INF, jnp.float32(0.0), mf)
+        else:
+            ft = jnp.full(x.shape, INF, dtype=jnp.int32)
+            cnt = jnp.int32(0)
+            m_post = mf
+
+        # Pass 2 — forces over i-chunks (dynamic trip count).
+        gm = g * m_post
+
+        def force_body(t, carry):
+            fx, fy = carry
+            i0 = t * ichunk
+            xi = islice(x, i0)
+            yi = islice(y, i0)
+            gmi = islice(gm, i0)
+            dx = x[:, None, :] - xi[:, :, None]
+            dy = y[:, None, :] - yi[:, :, None]
+            d2 = dx * dx + dy * dy
+            nz = d2 > 0.0
+            inv = jnp.where(nz, jax.lax.rsqrt(jnp.where(nz, d2, 1.0)), 0.0)
+            s = gmi[:, :, None] * m_post[:, None, :] * (inv * inv * inv)
+            fx = jax.lax.dynamic_update_slice_in_dim(
+                fx, jnp.sum(s * dx, axis=2), i0, axis=1)
+            fy = jax.lax.dynamic_update_slice_in_dim(
+                fy, jnp.sum(s * dy, axis=2), i0, axis=1)
+            return fx, fy
+
+        fx0 = jnp.zeros_like(x)
+        fx, fy = jax.lax.fori_loop(0, trips, force_body, (fx0, fx0))
+        return fx, fy, ft, cnt
+
+    ins = (xd, yd, mfd, alived) + ((pid,) if pid is not None else ())
+    args = tuple(_blocked(a, cb) for a in ins)
     fx, fy, ft, cnts = jax.lax.map(block, args)
     return (fx.reshape(-1, kcap)[:ncells], fy.reshape(-1, kcap)[:ncells],
             jnp.sum(cnts, dtype=jnp.int32), ft.reshape(-1, kcap)[:ncells])
@@ -146,18 +323,20 @@ def monopole_tile_forces(xd, yd, mfd, ml_t, mxl_t, myl_t):
 
 
 def dense_collisions(xd, yd, alived, ncells: int, kcap: int, eps: float,
-                     cb: int = CELL_BLOCK):
+                     cb: int = CELL_BLOCK, pid=None):
     """(ncells, K) tiles → (count, ft int32 per slot).
 
     Same first-colliding-pair formulation as ops/collisions.py (exact
-    reference set-rule semantics).
+    reference set-rule semantics); ``pid`` tiles restore bucket-order
+    tie-breaks when slot order ≠ pid order (resident impl).
     """
     eps2 = jnp.float32(eps) * jnp.float32(eps)
     INF = jnp.int32(0x7FFFFFFF)
     base = jnp.int32(kcap + 1)
 
     def block(args):
-        x, y, alive = args
+        x, y, alive = args[:3]
+        pd = args[3] if pid is not None else None
         dx = x[:, None, :] - x[:, :, None]
         dy = y[:, None, :] - y[:, :, None]
         d2 = dx * dx + dy * dy
@@ -165,13 +344,14 @@ def dense_collisions(xd, yd, alived, ncells: int, kcap: int, eps: float,
         i_idx = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
         j_idx = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 2)
         hit = pair_alive & (d2 < eps2) & (j_idx > i_idx)
-        rank = i_idx * base + j_idx
+        rank = _pair_ranks(pd, alive, i_idx, j_idx, base)
         cand = jnp.where(hit, rank, INF)
         ft = jnp.minimum(jnp.min(cand, axis=2), jnp.min(cand, axis=1))
         first_both = hit & (ft[:, :, None] == cand) & (ft[:, None, :] == cand)
         cnt = jnp.sum(first_both, dtype=jnp.int32)
         return ft, cnt
 
-    args = tuple(_blocked(a, cb) for a in (xd, yd, alived))
+    ins = (xd, yd, alived) + ((pid,) if pid is not None else ())
+    args = tuple(_blocked(a, cb) for a in ins)
     ft, cnts = jax.lax.map(block, args)
     return jnp.sum(cnts, dtype=jnp.int32), ft.reshape(-1, kcap)[:ncells]

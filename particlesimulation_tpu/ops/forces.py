@@ -110,6 +110,136 @@ def pairwise_forces_parity(x, y, m, alive, key, kmax, ncells: int):
     return fx, fy
 
 
+def cell_occupancy_per_lane(key_sorted):
+    """Occupancy of each lane's cell, for sorted keys (no ncells buffer)."""
+    n = key_sorted.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    first = jnp.concatenate(
+        [jnp.ones((1,), dtype=bool), key_sorted[1:] != key_sorted[:-1]])
+    last = jnp.concatenate(
+        [key_sorted[1:] != key_sorted[:-1], jnp.ones((1,), dtype=bool)])
+    seg_start = jax.lax.cummax(jnp.where(first, idx, jnp.int32(0)))
+    seg_end = jnp.flip(jax.lax.cummin(
+        jnp.flip(jnp.where(last, idx, jnp.int32(0x7FFFFFFF)))))
+    return seg_end - seg_start + 1
+
+
+def pairwise_forces_parity_blocked(x, y, m, alive, key, kmax, ncells: int,
+                                   block: int = 2048):
+    """Occupancy-tiered variant of :func:`pairwise_forces_parity`.
+
+    Bit-identical reformulation: lanes are processed in blocks of ``block``,
+    and each block's offset loops run only to its own max cell occupancy
+    (a dynamic ``fori_loop`` bound → while loop) instead of the global
+    ``kmax``. Cost drops from ``N·kmax_global`` to ``Σ_blocks B·kmax_block``
+    ≈ ``Σ_cells k_c²`` — the win is large exactly where the reference's
+    harness is hardest (clustered high-occupancy vectors, e.g.
+    serial/run_tests.sh's ncside=50 × 500-step and ncside=5 × 10⁴-step
+    vectors, where one hot cell drives kmax far above the mean).
+
+    Bit-exactness argument: for a lane with cell occupancy c, offsets
+    o ≥ c are fully masked and contribute a literal ±0.0 — ``fx - 0.0`` is
+    an exact IEEE no-op, and ``fx + 0.0`` is a no-op unless fx is -0.0,
+    which cannot arise here (force terms are products of positive
+    magnitudes with ``dx/dist`` quotients whose zeros are +0.0, sums that
+    cancel exactly round to +0.0, and the accumulator starts at
+    ``x*0 = +0.0`` for the in-domain x ≥ 0). Skipping those offsets
+    therefore reproduces the global sweep's bits; asserted per-config by
+    tests/test_ops.py and end-to-end by the golden vectors.
+    """
+    n = x.shape[0]
+    dt = x.dtype
+    g = jnp.asarray(G, dt)
+    zero = jnp.asarray(0.0, dt)
+    b = int(min(block, max(128, n)))
+    n_pad = -(-n // b) * b
+    pad = n_pad - n
+
+    occ = cell_occupancy_per_lane(key)
+    if pad:
+        # Pad lanes: sentinel key (masked as self via real, as partner via
+        # ap) and zero occupancy (never raises a block's trip count).
+        key_p = jnp.concatenate([key, jnp.full((pad,), ncells, key.dtype)])
+        occ_p = jnp.concatenate([occ, jnp.zeros((pad,), occ.dtype)])
+        x_p = jnp.concatenate([x, jnp.zeros((pad,), dt)])
+        y_p = jnp.concatenate([y, jnp.zeros((pad,), dt)])
+        m_p = jnp.concatenate([m, jnp.zeros((pad,), dt)])
+        a_p = jnp.concatenate([alive, jnp.zeros((pad,), bool)])
+    else:
+        key_p, occ_p, x_p, y_p, m_p, a_p = key, occ, x, y, m, alive
+
+    nb = n_pad // b
+    kmax_b = occ_p.reshape(nb, b).max(axis=1)
+
+    x2, y2, m2 = _doubled(x_p), _doubled(y_p), _doubled(m_p)
+    a2, k2 = _doubled(a_p), _doubled(key_p)
+    bidx = jnp.arange(b, dtype=jnp.int32)
+    npad32 = jnp.int32(n_pad)
+
+    def block_fn(bi):
+        s0 = bi * b
+        kb = kmax_b[bi]
+        xb = jax.lax.dynamic_slice_in_dim(x_p, s0, b)
+        yb = jax.lax.dynamic_slice_in_dim(y_p, s0, b)
+        mb = jax.lax.dynamic_slice_in_dim(m_p, s0, b)
+        ab = jax.lax.dynamic_slice_in_dim(a_p, s0, b)
+        keyb = jax.lax.dynamic_slice_in_dim(key_p, s0, b)
+        idx = s0.astype(jnp.int32) + bidx
+        real = keyb < ncells
+
+        def lower_body(t, f):
+            # o descends kb-1 .. 1 — same real-term order as the global
+            # sweep (serial/parsim.cpp:356-366's outer-loop order).
+            fx, fy = f
+            o = kb - 1 - t
+            st = s0 + npad32 - o
+            xp = jax.lax.dynamic_slice_in_dim(x2, st, b)
+            yp = jax.lax.dynamic_slice_in_dim(y2, st, b)
+            mp = jax.lax.dynamic_slice_in_dim(m2, st, b)
+            ap = jax.lax.dynamic_slice_in_dim(a2, st, b)
+            kp = jax.lax.dynamic_slice_in_dim(k2, st, b)
+            mask = (idx >= o) & (keyb == kp) & real & ab & ap
+            dx = xb - xp
+            dy = yb - yp
+            d2 = dx * dx + dy * dy
+            dist = jnp.sqrt(d2)
+            mask = mask & (dist != zero)
+            fm = (g * mp) * mb / d2
+            fx = fx - jnp.where(mask, fm * (dx / dist), zero)
+            fy = fy - jnp.where(mask, fm * (dy / dist), zero)
+            return fx, fy
+
+        def upper_body(t, f):
+            fx, fy = f
+            o = t + 1
+            st = s0 + o
+            xp = jax.lax.dynamic_slice_in_dim(x2, st, b)
+            yp = jax.lax.dynamic_slice_in_dim(y2, st, b)
+            mp = jax.lax.dynamic_slice_in_dim(m2, st, b)
+            ap = jax.lax.dynamic_slice_in_dim(a2, st, b)
+            kp = jax.lax.dynamic_slice_in_dim(k2, st, b)
+            mask = (idx < n - o) & (keyb == kp) & real & ab & ap
+            dx = xp - xb
+            dy = yp - yb
+            d2 = dx * dx + dy * dy
+            dist = jnp.sqrt(d2)
+            mask = mask & (dist != zero)
+            fm = (g * mb) * mp / d2
+            fx = fx + jnp.where(mask, fm * (dx / dist), zero)
+            fy = fy + jnp.where(mask, fm * (dy / dist), zero)
+            return fx, fy
+
+        nsweep = jnp.maximum(kb - 1, 0)
+        fx = xb * zero
+        fy = xb * zero
+        fx, fy = jax.lax.fori_loop(0, nsweep, lower_body, (fx, fy))
+        fx, fy = jax.lax.fori_loop(0, nsweep, upper_body, (fx, fy))
+        return fx, fy
+
+    fxs, fys = jax.lax.map(block_fn, jnp.arange(nb, dtype=jnp.int32))
+    return fxs.reshape(-1)[:n], fys.reshape(-1)[:n]
+
+
 def pairwise_forces_fast(x, y, m, alive, key, kmax, ncells: int):
     """Order-free same-cell pairwise forces: one sweep, symmetric update."""
     n = x.shape[0]

@@ -92,7 +92,24 @@ def _force_kernel(x_ref, y_ref, m_ref, ml_ref, mxl_ref, myl_ref,
     fy_ref[:] = jnp.concatenate(fy_chunks, axis=1)
 
 
-def _collision_kernel(x_ref, y_ref, alive_ref, ft_ref, count_ref, *,
+def _alive_pid_ranks(pid, alive, kcap, jchunk):
+    """Chunked alive-pid rank per slot (bucket-order tie-breaks).
+
+    The reference visits collision pairs in bucket order = ascending pid
+    (serial/parsim.cpp:393-411); resident-tile slot order departs from pid
+    order after migration, so ranks come from pid comparisons instead of
+    slot iotas. (CB, Ic, K) int intermediates, same chunking as the pair
+    passes.
+    """
+    chunks = []
+    for ic in range(0, kcap, jchunk):
+        pi = pid[:, ic:ic + jchunk]
+        less = (alive[:, None, :] > 0) & (pid[:, None, :] < pi[:, :, None])
+        chunks.append(jnp.sum(less, axis=2, dtype=jnp.int32))
+    return jnp.concatenate(chunks, axis=1)
+
+
+def _collision_kernel(x_ref, y_ref, alive_ref, pid_ref, ft_ref, count_ref, *,
                       kcap, eps2, jchunk):
     """First-colliding-pair ranks + set-rule count per cell row.
 
@@ -107,6 +124,7 @@ def _collision_kernel(x_ref, y_ref, alive_ref, ft_ref, count_ref, *,
     alive = alive_ref[:]
     INF = jnp.int32(0x7FFFFFFF)
     base = jnp.int32(kcap + 1)
+    pr = _alive_pid_ranks(pid_ref[:], alive, kcap, jchunk)
 
     def chunk_cand(ic):
         # Receiver rows i in a chunk; partners j span the full K (lanes).
@@ -120,7 +138,9 @@ def _collision_kernel(x_ref, y_ref, alive_ref, ft_ref, count_ref, *,
         i_idx = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1) + ic
         j_idx = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 2)
         hit = pair_alive & (d2 < eps2) & (j_idx > i_idx)
-        rank = i_idx * base + j_idx
+        ri = pr[:, ic:ic + jchunk][:, :, None]
+        rj = pr[:, None, :]
+        rank = jnp.minimum(ri, rj) * base + jnp.maximum(ri, rj)
         return jnp.where(hit, rank, INF), hit
 
     ft_i_chunks = []
@@ -143,7 +163,7 @@ def _collision_kernel(x_ref, y_ref, alive_ref, ft_ref, count_ref, *,
     count_ref[:] = count
 
 
-def _fused_kernel(x_ref, y_ref, mf_ref, alive_ref,
+def _fused_kernel(x_ref, y_ref, mf_ref, alive_ref, pid_ref,
                   fx_ref, fy_ref, ft_ref, count_ref, *,
                   kcap, eps2, jchunk, collide):
     """Fused collision(t) + pairwise-force(t+1) kernel.
@@ -163,6 +183,7 @@ def _fused_kernel(x_ref, y_ref, mf_ref, alive_ref,
 
     if collide:
         alive = alive_ref[:]
+        pr = _alive_pid_ranks(pid_ref[:], alive, kcap, jchunk)
 
         def chunk_cand(ic):
             xi = x[:, ic:ic + jchunk]
@@ -175,7 +196,9 @@ def _fused_kernel(x_ref, y_ref, mf_ref, alive_ref,
             i_idx = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1) + ic
             j_idx = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 2)
             hit = pair_alive & (d2 < eps2) & (j_idx > i_idx)
-            rank = i_idx * base + j_idx
+            ri = pr[:, ic:ic + jchunk][:, :, None]
+            rj = pr[:, None, :]
+            rank = jnp.minimum(ri, rj) * base + jnp.maximum(ri, rj)
             return jnp.where(hit, rank, INF), hit
 
         ft_i_chunks = []
@@ -222,8 +245,15 @@ def _fused_kernel(x_ref, y_ref, mf_ref, alive_ref,
     fy_ref[:] = jnp.concatenate(fy_chunks, axis=1)
 
 
+def _slot_iota_pid(ncells, kcap):
+    """Fallback pid tile when slot order IS pid order (sorted dense impl):
+    a slot iota yields the same pair ordering as the original slot ranks."""
+    return jnp.broadcast_to(jnp.arange(kcap, dtype=jnp.int32)[None, :],
+                            (ncells, kcap))
+
+
 def fused_pairs(xd, yd, mfd, alived, ncells: int, kcap: int, eps: float,
-                collide: bool = True):
+                collide: bool = True, pid=None):
     """Pallas twin of ops/dense_xla.fused_pairs (same signature/semantics).
 
     Interpreter-validated here; intended for first-party TPU runtimes where
@@ -232,7 +262,10 @@ def fused_pairs(xd, yd, mfd, alived, ncells: int, kcap: int, eps: float,
     cb, jchunk = _pick_tiling(kcap)
     nblocks = pl.cdiv(ncells, cb)
     pad_cells = nblocks * cb - ncells
-    xd, yd, mfd, alived = _padded([xd, yd, mfd, alived], pad_cells, kcap)
+    if pid is None:
+        pid = _slot_iota_pid(ncells, kcap)
+    xd, yd, mfd, alived, pid = _padded([xd, yd, mfd, alived, pid],
+                                       pad_cells, kcap)
     spec = pl.BlockSpec((cb, kcap), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
     cspec = pl.BlockSpec((cb, 1), lambda i: (i, 0),
@@ -242,7 +275,7 @@ def fused_pairs(xd, yd, mfd, alived, ncells: int, kcap: int, eps: float,
                           eps2=float(eps) * float(eps), jchunk=jchunk,
                           collide=collide),
         grid=(nblocks,),
-        in_specs=[spec, spec, spec, spec],
+        in_specs=[spec, spec, spec, spec, spec],
         out_specs=(spec, spec, spec, cspec),
         out_shape=(
             jax.ShapeDtypeStruct(xd.shape, xd.dtype),
@@ -251,7 +284,7 @@ def fused_pairs(xd, yd, mfd, alived, ncells: int, kcap: int, eps: float,
             jax.ShapeDtypeStruct((xd.shape[0], 1), jnp.int32),
         ),
         interpret=_interpret(),
-    )(xd, yd, mfd, alived)
+    )(xd, yd, mfd, alived, pid)
     if pad_cells:
         fx, fy, ft, counts = (fx[:ncells], fy[:ncells], ft[:ncells],
                               counts[:ncells])
@@ -306,12 +339,15 @@ def dense_pairwise_forces(xd, yd, md, ml, mxl, myl, ncells: int, kcap: int):
     return fx, fy
 
 
-def dense_collisions(xd, yd, alived, ncells: int, kcap: int, eps: float):
+def dense_collisions(xd, yd, alived, ncells: int, kcap: int, eps: float,
+                     pid=None):
     """(ncells, K) tiles → (count, ft int32 per slot)."""
     cb, jchunk = _pick_tiling(kcap)
     nblocks = pl.cdiv(ncells, cb)
     pad_cells = nblocks * cb - ncells
-    xd, yd, alived = _padded([xd, yd, alived], pad_cells, kcap)
+    if pid is None:
+        pid = _slot_iota_pid(ncells, kcap)
+    xd, yd, alived, pid = _padded([xd, yd, alived, pid], pad_cells, kcap)
     spec = pl.BlockSpec((cb, kcap), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
     cspec = pl.BlockSpec((cb, 1), lambda i: (i, 0),
@@ -320,14 +356,14 @@ def dense_collisions(xd, yd, alived, ncells: int, kcap: int, eps: float):
         functools.partial(_collision_kernel, kcap=kcap,
                           eps2=float(eps) * float(eps), jchunk=jchunk),
         grid=(nblocks,),
-        in_specs=[spec, spec, spec],
+        in_specs=[spec, spec, spec, spec],
         out_specs=(spec, cspec),
         out_shape=(
             jax.ShapeDtypeStruct(xd.shape, jnp.int32),
             jax.ShapeDtypeStruct((xd.shape[0], 1), jnp.int32),
         ),
         interpret=_interpret(),
-    )(xd, yd, alived)
+    )(xd, yd, alived, pid)
     if pad_cells:
         ft, counts = ft[:ncells], counts[:ncells]
     return jnp.sum(counts, dtype=jnp.int32), ft

@@ -75,32 +75,44 @@ def _wrap_delta(d, ncside: int):
     return ((d + half) % nc) - half
 
 
-def _roll_grid(a, dx: int, dy: int, ncside: int):
-    """grid[c] -> grid[c - (dx,dy)] over the periodic (nc, nc) cell grid."""
-    g = a.reshape(ncside, ncside, *a.shape[1:])
+def _roll_grid(a, dx: int, dy: int, ncside: int, nrows: int | None = None):
+    """grid[c] -> grid[c - (dx,dy)] over the periodic (nrows, nc) cell grid.
+
+    The sharded engine passes a non-square local grid (halo rows included);
+    its halo rows carry no movers, so y-wraparound never aliases there.
+    """
+    g = a.reshape(nrows or ncside, ncside, *a.shape[1:])
     g = jnp.roll(g, (dy, dx), axis=(0, 1))
     return g.reshape(a.shape)
 
 
-def rebin(ts: TileState, side: float, ncside: int, kcap: int):
+def rebin(ts: TileState, side: float, ncside: int, kcap: int,
+          mover_fn=None, nrows: int | None = None):
     """Deliver all movers to their destination rows. Returns (ts', overflow).
 
     overflow is 0 when everything was delivered within MAX_ROUNDS and no
     row ran out of free slots; otherwise the number of undelivered movers
     (the engine retries the run with larger tiles).
+
+    ``mover_fn(st) -> (moving, sx, sy)`` overrides the mover predicate
+    (the sharded engine freezes halo-row occupants awaiting shipment and
+    maps global rows to its local halo-extended grid); ``nrows`` overrides
+    the grid height for non-square local grids.
     """
-    ncells = ncside * ncside
+    ncells = (nrows or ncside) * ncside
     rowid = jnp.arange(ncells, dtype=jnp.int32)[:, None]  # (ncells, 1)
     row_cy = rowid // ncside
     row_cx = rowid % ncside
 
-    def mover_info(st: TileState):
+    def default_mover_info(st: TileState):
         cx, cy, valid = cell_of(st.x, st.y, side, ncside)
         dest = cy * ncside + cx
         moving = st.occ & valid & (dest != rowid)
         sx = jnp.sign(_wrap_delta(cx - row_cx, ncside))
         sy = jnp.sign(_wrap_delta(cy - row_cy, ncside))
         return moving, sx, sy
+
+    mover_info = mover_fn or default_mover_info
 
     FIELDS = ("x", "y", "vx", "vy", "m")
     lane = jnp.arange(kcap, dtype=jnp.int32)[None, :]
@@ -129,14 +141,14 @@ def rebin(ts: TileState, side: float, ncside: int, kcap: int):
         tgt_any = jnp.zeros(st.occ.shape, dtype=bool)
         for d, (dx, dy) in enumerate(STENCIL):
             going = moving & (sx == dx) & (sy == dy)
-            arr = _roll_grid(going, dx, dy, ncside)
+            arr = _roll_grid(going, dx, dy, ncside, nrows)
             has = jnp.any(arr, axis=1, keepdims=True)
             ok = has & (d < n_free)
             # First pending arrival (source-slot order) in each row...
             win = arr & (lane == jnp.argmax(arr, axis=1)[:, None]) & ok
             # ...lands in the row's (d+1)-th free slot.
             tgt = (~occ) & (fr == d + 1) & ok
-            src_win = _roll_grid(win, -dx, -dy, ncside) & going
+            src_win = _roll_grid(win, -dx, -dy, ncside, nrows) & going
             wins_src.append(src_win)
             tgts.append(tgt)
             departed = departed | src_win
@@ -154,7 +166,7 @@ def rebin(ts: TileState, side: float, ncside: int, kcap: int):
                 else:
                     w = jnp.sum(jnp.where(src_win, field, z), axis=1,
                                 keepdims=True)
-                w_dst = _roll_grid(w, dx, dy, ncside)  # (ncells, 1) column
+                w_dst = _roll_grid(w, dx, dy, ncside, nrows)  # (ncells, 1) column
                 term = jnp.where(tgt, w_dst, z)
                 ins = term if ins is None else ins + term
             return jnp.where(tgt_any, ins, field)

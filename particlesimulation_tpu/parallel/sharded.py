@@ -23,8 +23,13 @@ identical to the single-chip engine — in f64 parity mode the sharded run is
 reference could only claim 1e-3 agreement between its variants; here the
 decomposition changes communication, not math.
 
-Unlike the reference, which breaks when num_procs > ncside
-(mpi/parsim-mpi.cpp:338-342), the config validates divisibility up front.
+Row decomposition is *balanced-uneven*: any ``n_shards ≤ ncside`` works.
+The first ``rows_rem`` shards own ``rows_base+1`` rows, the rest
+``rows_base`` (the reference floors rows_per_proc and dumps the whole
+remainder on the last rank, mpi/parsim-mpi.cpp:338-342). shard_map needs one
+static shape, so every shard's local COM grid is ``rows_max`` tall and a
+shard with fewer rows leaves its tail rows empty; the bottom halo row is
+placed at the dynamic per-shard position ``rows_mine+1``.
 """
 
 from __future__ import annotations
@@ -102,8 +107,10 @@ def make_sharded_step(config: SimConfig, mesh: Mesh, cap: int | None = None,
     nc = config.ncside
     ncells = config.ncells
     d = config.n_shards
-    rows_local = config.rows_per_shard
-    ncells_local = rows_local * nc
+    rows_max = config.rows_max
+    rows_base = config.rows_base
+    rows_rem = config.rows_rem
+    ncells_local = rows_max * nc
     cap = cap or config.resolved_shard_capacity()
     bcap = bcap or config.resolved_migration_capacity()
     parity = config.precision is Precision.PARITY
@@ -116,7 +123,8 @@ def make_sharded_step(config: SimConfig, mesh: Mesh, cap: int | None = None,
 
     def local_step(state: ShardedState) -> ShardedState:
         me = jax.lax.axis_index(AXIS)
-        row0 = (me * rows_local).astype(jnp.int32)
+        row0 = config.row0_of_shard(me).astype(jnp.int32)
+        rows_mine = (rows_base + (me < rows_rem)).astype(jnp.int32)
         x, y, vx, vy, m = state.x, state.y, state.vx, state.vy, state.m
         alive, valid, pid = state.alive, state.valid, state.pid
 
@@ -131,26 +139,43 @@ def make_sharded_step(config: SimConfig, mesh: Mesh, cap: int | None = None,
             M, MX, MY = com.com_parity(lk, x, y, m, ncells_local)
         else:
             M, MX, MY = com.com_fast(lk, x, y, m, ncells_local)
-        M2 = M.reshape(rows_local, nc)
-        MX2 = MX.reshape(rows_local, nc)
-        MY2 = MY.reshape(rows_local, nc)
+        M2 = M.reshape(rows_max, nc)
+        MX2 = MX.reshape(rows_max, nc)
+        MY2 = MY.reshape(rows_max, nc)
 
         # ---- COM halo ring over ICI (reference ghost exchange P3) ----
+        # "My last row" is the last *owned* row (dynamic under the uneven
+        # decomposition); "my first row" is always local row 0.
+        def last_row(A):
+            return jax.lax.dynamic_slice_in_dim(A, rows_mine - 1, 1,
+                                                axis=0)[0]
+
         if d > 1:
             down = _ring_perm(d, 1)    # my last row -> next shard's top halo
             up = _ring_perm(d, -1)     # my first row -> prev shard's bottom halo
-            top = jax.lax.ppermute((M2[-1], MX2[-1], MY2[-1]), AXIS, down)
+            top = jax.lax.ppermute((last_row(M2), last_row(MX2),
+                                    last_row(MY2)), AXIS, down)
             bot = jax.lax.ppermute((M2[0], MX2[0], MY2[0]), AXIS, up)
         else:
-            top = (M2[-1], MX2[-1], MY2[-1])
+            top = (last_row(M2), last_row(MX2), last_row(MY2))
             bot = (M2[0], MX2[0], MY2[0])
-        Mp = jnp.concatenate([top[0][None], M2, bot[0][None]], axis=0)
-        MXp = jnp.concatenate([top[1][None], MX2, bot[1][None]], axis=0)
-        MYp = jnp.concatenate([top[2][None], MY2, bot[2][None]], axis=0)
+        # Padded grid: row 0 = top halo, rows 1..rows_max = mine, and the
+        # bottom halo lands at the dynamic row rows_mine+1 (overwriting an
+        # empty tail row when this shard owns fewer than rows_max rows).
+        zrow = jnp.zeros((1, nc), M2.dtype)
+
+        def padded(A, halo_top, halo_bot):
+            Ap = jnp.concatenate([halo_top[None], A, zrow], axis=0)
+            return jax.lax.dynamic_update_slice_in_dim(
+                Ap, halo_bot[None], rows_mine + 1, axis=0)
+
+        Mp = padded(M2, top[0], bot[0])
+        MXp = padded(MX2, top[1], bot[1])
+        MYp = padded(MY2, top[2], bot[2])
 
         # ---- forces ----
         ml, mxl, myl = stencil_tables_halo(Mp, MXp, MYp, side, nc,
-                                           rows_local, row0)
+                                           rows_max, row0)
         if parity:
             fx, fy = forces.pairwise_forces_parity(x, y, m, alive, key, kmax,
                                                    ncells)
@@ -167,7 +192,8 @@ def make_sharded_step(config: SimConfig, mesh: Mesh, cap: int | None = None,
         # ---- migration (reference P4) ----
         key2, _ = slab_key(x, y, valid)
         new_row = jnp.where(key2 < ncells, key2 // nc, jnp.int32(0))
-        dest = jnp.where(key2 < ncells, new_row // rows_local, me)
+        dest = jnp.where(key2 < ncells,
+                         config.shard_of_row(new_row, jnp), me)
         dest = jnp.where(valid, dest, me)
         emig = valid & (dest != me)
         n_emig = jnp.sum(emig, dtype=jnp.int32)
@@ -307,7 +333,7 @@ class ShardedEngine:
         in_range = ((cx >= 0) & (cx < cfg.ncside) &
                     (cy >= 0) & (cy < cfg.ncside))
         row = np.clip(cy, 0, cfg.ncside - 1)
-        shard = np.where(in_range, row // cfg.rows_per_shard, 0)
+        shard = np.where(in_range, cfg.shard_of_row(row), 0)
 
         n = cfg.n_particles
         pid = np.arange(n, dtype=np.int32)

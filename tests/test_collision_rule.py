@@ -89,3 +89,71 @@ def test_strictly_less_than_epsilon():
     # pinning the strict `<` of the reference (serial/parsim.cpp:400).
     count, _ = _detect([0.0, EPSILON], [1.0, 1.0])
     assert count == 0
+
+
+def _tile_counts(mod, slots_pid, positions, kcap=8):
+    """Run a backend's collision pass on a single hand-built cell tile."""
+    import jax.numpy as jnp
+
+    n = len(slots_pid)
+    xd = jnp.zeros((1, kcap), jnp.float32)
+    yd = jnp.zeros((1, kcap), jnp.float32)
+    ad = jnp.zeros((1, kcap), jnp.int32)
+    pd = jnp.zeros((1, kcap), jnp.int32)
+    for s, (p, (px, py)) in enumerate(zip(slots_pid, positions)):
+        xd = xd.at[0, s].set(px)
+        yd = yd.at[0, s].set(py)
+        ad = ad.at[0, s].set(1)
+        pd = pd.at[0, s].set(p)
+    cnt_pid, _ = mod.dense_collisions(xd, yd, ad, 1, kcap, EPSILON, pid=pd)
+    cnt_slot, _ = mod.dense_collisions(xd, yd, ad, 1, kcap, EPSILON)
+    return int(cnt_pid), int(cnt_slot)
+
+
+# The divergence geometry: a chain A-B-C-D (consecutive pairs collide,
+# |AB|=|BC|=|CD|=0.8ε, everything else ≥ 1.6ε). In pid (bucket) order the
+# scan visits (A,B),(B,C),(C,D): (A,B) counts, B blocks (B,C), C blocks
+# (C,D) → count = 1 (the reference answer). In slot order [A, D, C, B] the
+# slot-pair scan visits (A,B)=(0,3) then (D,C)=(1,2) — two disjoint pairs
+# counted before the blocked (C,B)=(2,3) → count = 2.
+_D = EPSILON * 0.8
+_TIE_POSITIONS = {0: (0.0, 0.0),        # A
+                  1: (0.0, _D),         # B
+                  2: (0.0, 2 * _D),     # C
+                  3: (0.0, 3 * _D)}     # D
+_TIE_SLOTS = [0, 3, 2, 1]               # slot order A, D, C, B
+
+
+def test_tile_tiebreak_ranks_by_pid_not_slot():
+    """Post-migration situation: resident slot order departs from pid order.
+    pid ranks must reproduce the reference bucket-order count (1), where
+    slot ranks would give 2."""
+    from particlesimulation_tpu.ops import dense_xla
+    from particlesimulation_tpu.ops.pallas import cell_pairs
+
+    positions = [_TIE_POSITIONS[p] for p in _TIE_SLOTS]
+    for mod in (dense_xla, cell_pairs):
+        cnt_pid, cnt_slot = _tile_counts(mod, _TIE_SLOTS, positions)
+        assert cnt_pid == 1, mod.__name__   # reference bucket-order semantics
+        assert cnt_slot == 2, mod.__name__  # what slot ranks would have done
+
+
+def test_tile_tiebreak_fused_pairs_matches():
+    from particlesimulation_tpu.ops import dense_xla
+    from particlesimulation_tpu.ops.pallas import cell_pairs
+
+    kcap = 8
+    xs = [_TIE_POSITIONS[p][0] for p in _TIE_SLOTS] + [0.0] * 4
+    ys = [_TIE_POSITIONS[p][1] for p in _TIE_SLOTS] + [0.0] * 4
+    xd = jnp.asarray([xs], jnp.float32)
+    yd = jnp.asarray([ys], jnp.float32)
+    md = jnp.asarray([[1.0] * 4 + [0.0] * 4], jnp.float32)
+    ad = jnp.asarray([[1, 1, 1, 1, 0, 0, 0, 0]], jnp.int32)
+    pd = jnp.asarray([_TIE_SLOTS + [0] * 4], jnp.int32)
+    for mod in (dense_xla, cell_pairs):
+        _, _, cnt, ftd = mod.fused_pairs(xd, yd, md, ad, 1, kcap, EPSILON,
+                                         collide=True, pid=pd)
+        assert int(cnt) == 1, mod.__name__
+        # All four are endpoints of some colliding pair: all die.
+        assert (np.asarray(ftd)[0, :4] != 0x7FFFFFFF).all(), mod.__name__
+        assert (np.asarray(ftd)[0, 4:] == 0x7FFFFFFF).all(), mod.__name__

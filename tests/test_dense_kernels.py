@@ -92,3 +92,58 @@ def test_dense_force_kernel_against_direct_numpy():
                 if d2 > 0:
                     acc += G * float(m[c, i]) * float(m[c, j]) * dx / d2 ** 1.5
             np.testing.assert_allclose(fx[c, i], acc, rtol=2e-4, atol=1e-12)
+
+
+def test_fused_pairs_v2_equals_v1():
+    """The occupancy-adaptive pair pass must reproduce the flat K² pass
+    exactly: same hits, same ranks, same counts, same force bits (identical
+    per-pair expressions, identical reduction extents over non-empty slots).
+    """
+    import numpy as np
+    import jax.numpy as jnp
+
+    from particlesimulation_tpu.config import EPSILON
+    from particlesimulation_tpu.ops import dense_xla
+
+    rng = np.random.default_rng(7)
+    ncells, kcap = 37, 16
+    for trial, eps_scale in enumerate((1.0, 50.0)):  # few vs many hits
+        occ = rng.integers(0, kcap + 1, ncells)
+        xd = np.zeros((ncells, kcap), np.float32)
+        yd = np.zeros((ncells, kcap), np.float32)
+        md = np.zeros((ncells, kcap), np.float32)
+        ad = np.zeros((ncells, kcap), np.int32)
+        pd = np.zeros((ncells, kcap), np.int32)
+        nxt = 0
+        for c in range(ncells):
+            k = occ[c]
+            xd[c, :k] = rng.uniform(0, 0.02, k)
+            yd[c, :k] = rng.uniform(0, 0.02, k)
+            md[c, :k] = rng.uniform(0.5, 2.0, k)
+            ad[c, :k] = (rng.uniform(size=k) > 0.2).astype(np.int32)
+            perm = rng.permutation(k)  # slot order != pid order
+            pd[c, :k] = nxt + perm
+            nxt += k
+        args = (jnp.asarray(xd), jnp.asarray(yd), jnp.asarray(md),
+                jnp.asarray(ad))
+        eps = EPSILON * eps_scale
+        for pid in (None, jnp.asarray(pd)):
+            for collide in (True, False):
+                r1 = dense_xla.fused_pairs(*args, ncells, kcap, eps,
+                                           collide=collide, cb=8, pid=pid)
+                r2 = dense_xla.fused_pairs_v2(*args, ncells, kcap, eps,
+                                              collide=collide, cb=8, pid=pid,
+                                              ichunk=4)
+                msg = (f"trial={trial} collide={collide} "
+                       f"pid={pid is not None}")
+                # Integers (count, collision ranks) must agree exactly;
+                # force sums may differ in the last ulp (XLA picks a
+                # different reduction tree per chunk shape).
+                assert int(r1[2]) == int(r2[2]), msg
+                np.testing.assert_array_equal(np.asarray(r1[3]),
+                                              np.asarray(r2[3]),
+                                              err_msg="ft " + msg)
+                for a, b, name in zip(r1[:2], r2[:2], ("fx", "fy")):
+                    np.testing.assert_allclose(
+                        np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-12,
+                        err_msg=name + " " + msg)

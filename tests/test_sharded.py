@@ -67,6 +67,38 @@ def test_sharded_bitwise_equals_single(seed, side, nc, n, steps, shards):
 
 
 @needs_mesh
+@pytest.mark.parametrize(
+    "seed,side,nc,n,steps,shards",
+    [
+        (1, 2.0, 9, 200, 10, 4),     # 9 rows on 4 shards: 3+2+2+2
+        (-10, 3.0, 13, 300, 10, 8),  # 13 rows on 8 shards: 5 shards of 2
+        (17, 0.12, 5, 120, 20, 3),   # collisions + migration, 2+2+1
+        (5893, 0.05, 8, 64, 12, 7),  # n_shards not a power of two
+    ],
+)
+def test_uneven_decomposition_bitwise_equals_single(seed, side, nc, n,
+                                                    steps, shards):
+    """ncside % n_shards != 0 (the reference's own SMALL workload shape,
+    ncside=1300 on 12 procs, mpi/parsim-mpi.cpp:338-342)."""
+    base = dict(seed=seed, side=side, ncside=nc, n_particles=n,
+                precision=Precision.PARITY)
+    se = Engine(SimConfig(**base))
+    ss = se.run(se.init_state(), steps)
+    single = _single_view(se, ss)
+
+    me = ShardedEngine(SimConfig(**base, n_shards=shards, shard_capacity=n,
+                                 migration_capacity=n))
+    ms = me.run(me.init_state(), steps)
+    multi = me.gather(ms)
+
+    np.testing.assert_array_equal(multi["pid"], single["pid"])
+    for f in ("x", "y", "vx", "vy", "m", "alive"):
+        np.testing.assert_array_equal(multi[f], single[f], err_msg=f)
+    assert int(ms.collisions) == int(ss.collisions)
+    assert int(ms.overflow) == 0
+
+
+@needs_mesh
 def test_sharded_migration_wraps_ring():
     # Fast-moving particles crossing shard boundaries both ways, incl. the
     # periodic wraparound row (shard 0 <-> shard D-1).
