@@ -29,12 +29,15 @@ def _build() -> str | None:
     os.makedirs(_BUILD_DIR, exist_ok=True)
     if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
         return _SO
-    cmd = ["g++", "-O2", "-shared", "-fPIC", "-o", _SO + ".tmp", _SRC]
+    # Per-pid temp name: concurrent processes may race to build; each
+    # compiles privately and the atomic rename makes last-writer-wins safe.
+    tmp = f"{_SO}.{os.getpid()}.tmp"
+    cmd = ["g++", "-O2", "-shared", "-fPIC", "-o", tmp, _SRC]
     try:
         subprocess.run(cmd, check=True, capture_output=True)
     except (subprocess.CalledProcessError, FileNotFoundError):
         return None
-    os.replace(_SO + ".tmp", _SO)
+    os.replace(tmp, _SO)
     return _SO
 
 

@@ -295,11 +295,17 @@ def _pick_tiling(kcap: int) -> tuple[int, int]:
     """(cells per program, receiver chunk).
 
     Mosaic allocates every live (CB, Ic, K) intermediate on the VMEM stack,
-    so keep each one ≤~512KB with CB=8 (the sublane minimum); the lane
-    dimension stays at the full K for VPU width.
+    so keep each one small with CB=8 (the sublane minimum); the lane
+    dimension stays at the full K for VPU width. The per-intermediate
+    budget is tunable: the collision passes keep ~a dozen (CB, Ic, K) int
+    tensors live and the default 16 MiB scoped-vmem limit was measured to
+    overflow at 512 KiB tiles on v5e (DEVNOTES.md round-2 probe), so the
+    default is 64 KiB.
     """
-    cb = 8
-    target_elems = (512 * 1024) // 4
+    import os
+    cb = int(os.environ.get("PSIM_PALLAS_CB", "8"))
+    kb = int(os.environ.get("PSIM_PALLAS_TILE_KB", "64"))
+    target_elems = (kb * 1024) // 4
     ic = max(8, target_elems // max(cb * kcap, 1))
     p = 8
     while p * 2 <= ic:

@@ -34,6 +34,8 @@ placed at the dynamic per-shard position ``rows_mine+1``.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -237,11 +239,33 @@ def make_sharded_step(config: SimConfig, mesh: Mesh, cap: int | None = None,
 
         slab = (x, y, vx, vy, m, alive, valid, pid)
         if d > 1:
+            # Ring-forward until every emigrant has landed; a psum-gated
+            # while_loop pays one hop when only ring neighbors are involved
+            # (the physical common case: particles cross one row boundary)
+            # and zero collective work happens on quiet steps beyond the
+            # pending-count psum. Skipped hops forwarded an all-invalid
+            # buffer and accepted nothing, so trajectories are bit-identical
+            # to the unconditional D-1-hop formulation. The reference pays
+            # one Alltoall every step regardless (mpi/parsim-mpi.cpp:536).
             fwd = _ring_perm(d, 1)
-            for _hop in range(d - 1):
+            pending0 = jax.lax.psum(
+                jnp.sum(buf["valid"], dtype=jnp.int32), AXIS)
+
+            def mig_cond(c):
+                _, _, _, pending, hop = c
+                return (pending > 0) & (hop < d - 1)
+
+            def mig_body(c):
+                slab, buf, overflow, _, hop = c
                 buf = jax.lax.ppermute(buf, AXIS, fwd)
                 slab, buf, ovf = accept(slab, buf)
-                overflow = overflow + ovf
+                pending = jax.lax.psum(
+                    jnp.sum(buf["valid"], dtype=jnp.int32), AXIS)
+                return slab, buf, overflow + ovf, pending, hop + 1
+
+            slab, buf, overflow, _, _ = jax.lax.while_loop(
+                mig_cond, mig_body,
+                (slab, buf, overflow, pending0, jnp.int32(0)))
         (x, y, vx, vy, m, alive, valid, pid) = slab
 
         # Cleared slots hold inert values (m=0 freezes them everywhere).
@@ -283,9 +307,24 @@ def make_sharded_step(config: SimConfig, mesh: Mesh, cap: int | None = None,
 
 
 class ShardedEngine:
-    """Mesh-parallel engine with the same interface as the single-chip one."""
+    """Mesh-parallel engine with the same interface as the single-chip one.
 
-    def __init__(self, config: SimConfig, devices=None):
+    Two implementations:
+
+    * ``sweep`` — sorted per-shard slabs, neighbor-offset force sweep. The
+      f64 parity path (bitwise equal to single-chip; asserted in tests).
+    * ``resident`` — slot-resident (local_cells, K) tiles with the fused
+      pair kernels and halo-row migration (parallel/sharded_resident.py).
+      The FAST-precision default: the same formulation that is 22x faster
+      than the sweep on one chip (PERF.md).
+
+    Tile-capacity overflow in the resident impl triggers a lossless retry
+    with larger tiles, then escalation to the sweep impl — mirroring the
+    single-chip engine's ladder.
+    """
+
+    def __init__(self, config: SimConfig, devices=None,
+                 impl: str | None = None, kcap: int | None = None):
         self.config = config
         d = config.n_shards
         if devices is None:
@@ -297,25 +336,47 @@ class ShardedEngine:
             if not jax.config.jax_enable_x64:
                 raise RuntimeError("parity precision requires jax_enable_x64")
             self.dtype = jnp.float64
+            self.impl = "sweep"
         else:
             self.dtype = jnp.float32
+            if impl is None:
+                impl = os.environ.get("PSIM_SHARD_IMPL", "resident")
+            self.impl = impl
+        self.kcap = kcap
         self.capacity = (config.shard_capacity
                          or None)  # finalized at init_state from occupancy
-        self._built_cap = None
+        self._built_key = None
         self._step = None
         self._run = None
+
+    @staticmethod
+    def _round_cap(x: float) -> int:
+        return max(32, (int(x) + 31) // 32 * 32)
 
     def _build(self):
         cap = self.capacity or self.config.resolved_shard_capacity()
         self.capacity = cap
-        if self._built_cap == cap and self._run is not None:
+        if self.impl == "resident" and self.kcap is None:
+            avg = max(1.0, self.config.n_particles
+                      / max(1, self.config.ncells))
+            self.kcap = self._round_cap(avg + 6.0 * avg ** 0.5 + 16)
+        key = (self.impl, cap,
+               self.kcap if self.impl == "resident" else None)
+        if self._built_key == key and self._run is not None:
             return
-        bcap = self.config.migration_capacity or max(64, cap // 2)
-        self._step = make_sharded_step(self.config, self.mesh, cap, bcap)
-        self._run = jax.jit(
-            lambda s, nsteps: jax.lax.fori_loop(
-                0, nsteps, lambda i, st: self._step(st), s))
-        self._built_cap = cap
+        if self.impl == "resident":
+            from particlesimulation_tpu.parallel.sharded_resident import (
+                make_sharded_resident_run)
+            self._run = make_sharded_resident_run(
+                self.config, self.mesh, self.kcap, cap)
+            self._step = None
+        else:
+            bcap = self.config.migration_capacity or max(64, cap // 2)
+            self._step = make_sharded_step(self.config, self.mesh, cap, bcap)
+            self._run = jax.jit(
+                lambda s, nsteps: jax.lax.fori_loop(
+                    0, nsteps, lambda i, st: self._step(st), s))
+        self._built_key = key
 
     def init_state(self) -> ShardedState:
         """Host init, then scatter by owner row-block into per-shard slabs.
@@ -338,6 +399,15 @@ class ShardedEngine:
         n = cfg.n_particles
         pid = np.arange(n, dtype=np.int32)
         counts = np.bincount(shard, minlength=d)
+        if self.impl == "resident" and self.kcap is None:
+            # Occupancy-informed tile capacity (host-side, no readback);
+            # overflow retries are lossless, so size snugly — pair-pass
+            # cost scales with kcap².
+            occ = np.bincount(
+                np.clip(cy, 0, cfg.ncside - 1) * cfg.ncside
+                + np.clip(cx, 0, cfg.ncside - 1),
+                minlength=cfg.ncells).max()
+            self.kcap = self._round_cap(occ * 1.25 + 8)
         if self.capacity is None:
             # Size slabs from actual initial occupancy with migration slack.
             need = int(counts.max() * 1.5) + 16
@@ -407,16 +477,30 @@ class ShardedEngine:
         return jax.jit(f)(state)
 
     def run(self, state: ShardedState, n_steps: int) -> ShardedState:
-        self._build()
-        out = self._run(state, jnp.int32(n_steps))
-        # Scalar readback doubles as a hard completion fence (remote
-        # backends may treat block_until_ready as dispatch-complete).
-        jax.block_until_ready(out)
-        if int(np.asarray(out.overflow)) > 0:
-            raise RuntimeError(
-                "migration/slab overflow — raise shard_capacity or "
-                "migration_capacity in SimConfig")
-        return out
+        for _attempt in range(6):
+            self._build()
+            if self.impl == "resident":
+                state_in = state._replace(
+                    overflow=jnp.zeros_like(state.overflow))
+            else:
+                state_in = state
+            out = self._run(state_in, jnp.int32(n_steps))
+            # Scalar readback doubles as a hard completion fence (remote
+            # backends may treat block_until_ready as dispatch-complete).
+            jax.block_until_ready(out)
+            if int(np.asarray(out.overflow)) == 0:
+                return out
+            if self.impl != "resident":
+                raise RuntimeError(
+                    "migration/slab overflow — raise shard_capacity or "
+                    "migration_capacity in SimConfig")
+            # Tile occupancy outgrew the resident grid: replay the run
+            # losslessly with larger tiles; if growth isn't converging,
+            # escalate to the sweep slab impl (always correct, slower).
+            self.kcap = self._round_cap(self.kcap * 1.5)
+            if _attempt >= 2 or self.kcap > 2048:
+                self.impl = "sweep"
+        raise RuntimeError("sharded tile capacity retries exhausted")
 
     def result(self, state: ShardedState) -> tuple[float, float, int]:
         valid = np.asarray(state.valid)
