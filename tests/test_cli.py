@@ -35,3 +35,14 @@ def test_cli_mesh_matches_single():
     mesh = _run_cli(base + ["--mesh", "3"])
     assert single.stdout == mesh.stdout
     assert single.stdout.strip().splitlines() == ["0.002 0.035", "2"]
+
+
+def test_cli_fast_mesh_golden_vector():
+    """Golden vector N1 through the sharded resident fast path: the CLI's
+    --engine fast --mesh route must reproduce the reference output exactly
+    (coords at 3 decimals, collision count exact)."""
+    base = ["5893", "0.05", "3", "10", "10", "--engine", "fast",
+            "--mesh", "3"]
+    r = _run_cli(base)
+    assert r.returncode == 0, r.stderr
+    assert r.stdout.strip().splitlines() == ["0.002 0.035", "2"]
