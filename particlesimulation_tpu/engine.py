@@ -327,11 +327,15 @@ def make_resident_run(config: SimConfig, kcap: int, backend: str = "xla"):
         # pid tiles restore the reference's bucket-order (pid-ascending)
         # collision tie-breaks: resident slot order departs from pid order
         # after migration (serial/parsim.cpp:393-411).
-        if backend != "pallas" and os.environ.get("PSIM_PAIR_IMPL",
-                                                  "v2") == "v2":
-            fused_fn = dmod.fused_pairs_v2
-        else:
+        if backend == "pallas":
             fused_fn = dmod.fused_pairs
+        else:
+            # v2 measured fastest on the v5e (7.55 ms/step at the bench
+            # config); v3's one-sweep restructure lost 1.2 ms to cond
+            # overhead + double-swept hit blocks (dense_xla.fused_pairs_v3).
+            fused_fn = {"v1": dmod.fused_pairs, "v2": dmod.fused_pairs_v2,
+                        "v3": dmod.fused_pairs_v3}[
+                os.environ.get("PSIM_PAIR_IMPL", "v2")]
         fxd, fyd, count, ftd = fused_fn(
             ts.x, ts.y, mf, ad, ncells, kcap, EPSILON, collide=collide,
             pid=ts.pid)

@@ -303,6 +303,157 @@ def fused_pairs_v2(xd, yd, mfd, alived, ncells: int, kcap: int, eps: float,
             jnp.sum(cnts, dtype=jnp.int32), ft.reshape(-1, kcap)[:ncells])
 
 
+def fused_pairs_v3(xd, yd, mfd, alived, ncells: int, kcap: int, eps: float,
+                   collide: bool = True, cb: int = CELL_BLOCK, pid=None,
+                   ichunk: int = 32):
+    """One-sweep fused pair pass (same contract and bit-identical outputs
+    as fused_pairs_v2). NOT the default — measured slower; see below.
+
+    v2 pays two chunked pair sweeps per block every step: a d²-only
+    hit-flag pass, then the force pass. v3 folds the hit flag into the
+    force sweep (three extra cheap ops per pair) and computes forces with
+    *pre-collision* masses; only blocks whose flag fired — rare by
+    construction, collisions per step ≪ blocks per step — enter a
+    ``lax.cond`` that runs the collision rank machinery and *recomputes*
+    the block's forces from the (CB, K) tiles with post-death masses.
+    Recompute-not-correct keeps results bit-identical to v2: a no-hit
+    block's m_post == mf so the pre-mass forces are already exact, and a
+    hit block's forces are rebuilt with the same formula v2 uses. Branch
+    operands stay (CB, K)-sized (closing over (CB, K, K) intermediates was
+    the round-1 regression — PERF.md).
+
+    Measured on the v5e at the N=1e6 bench config: 8.72 ms/step vs v2's
+    7.55 — the cond's operand materialization plus double-swept hit
+    blocks (1-2 of 10 blocks per step at CELL_BLOCK=1024) cost more than
+    the d²-only hit pass they replace. Kept as a selectable variant
+    (PSIM_PAIR_IMPL=v3): its economics flip on collision-free workloads
+    or smaller cell blocks, and its bit-equality with v2 is pinned in
+    tests/test_dense_kernels.py.
+    """
+    g = jnp.float32(G)
+    eps2 = jnp.float32(eps) * jnp.float32(eps)
+    INF = jnp.int32(0x7FFFFFFF)
+    base = jnp.int32(kcap + 1)
+    ichunk = min(ichunk, kcap)
+    while kcap % ichunk:
+        ichunk //= 2
+    nb_i = -(-kcap // ichunk)
+
+    def block(args):
+        x, y, mf, alive = args[:4]
+        pd = args[4] if pid is not None else None
+        lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+        used = (mf > 0.0) | (alive > 0)
+        kb = jnp.max(jnp.where(used, lane + 1, 0))
+        trips = jnp.minimum((kb + ichunk - 1) // ichunk, nb_i)
+
+        def islice(a, i0, width=ichunk):
+            return jax.lax.dynamic_slice_in_dim(a, i0, width, axis=1)
+
+        def force_sweep(gm, m_partner, with_hit):
+            """Chunked force accumulation; optionally also the hit flag."""
+            def body(t, carry):
+                fx, fy, anyhit = carry
+                i0 = t * ichunk
+                xi = islice(x, i0)
+                yi = islice(y, i0)
+                gmi = islice(gm, i0)
+                dx = x[:, None, :] - xi[:, :, None]
+                dy = y[:, None, :] - yi[:, :, None]
+                d2 = dx * dx + dy * dy
+                nz = d2 > 0.0
+                inv = jnp.where(nz, jax.lax.rsqrt(jnp.where(nz, d2, 1.0)),
+                                0.0)
+                s = (gmi[:, :, None] * m_partner[:, None, :]
+                     * (inv * inv * inv))
+                fx = jax.lax.dynamic_update_slice_in_dim(
+                    fx, jnp.sum(s * dx, axis=2), i0, axis=1)
+                fy = jax.lax.dynamic_update_slice_in_dim(
+                    fy, jnp.sum(s * dy, axis=2), i0, axis=1)
+                if with_hit:
+                    ai = islice(alive, i0)
+                    pa = (ai[:, :, None] * alive[:, None, :]) > 0
+                    ii = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1) + i0
+                    jj = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 2)
+                    anyhit = anyhit | jnp.any(pa & (d2 < eps2) & (jj > ii))
+                return fx, fy, anyhit
+
+            z = jnp.zeros_like(x)
+            return jax.lax.fori_loop(0, trips, body,
+                                     (z, z, jnp.bool_(False)))
+
+        fx0, fy0, any_hit = force_sweep(g * mf, mf, with_hit=collide)
+
+        if collide:
+            pr_none = pd is None
+
+            def cand_chunk(pr, i0):
+                xi = islice(x, i0)
+                yi = islice(y, i0)
+                ai = islice(alive, i0)
+                dx = x[:, None, :] - xi[:, :, None]
+                dy = y[:, None, :] - yi[:, :, None]
+                d2 = dx * dx + dy * dy
+                pa = (ai[:, :, None] * alive[:, None, :]) > 0
+                ii = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1) + i0
+                jj = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 2)
+                hit = pa & (d2 < eps2) & (jj > ii)
+                if pr_none:
+                    rank = ii * base + jj
+                else:
+                    ri = islice(pr, i0)[:, :, None]
+                    rj = pr[:, None, :]
+                    rank = jnp.minimum(ri, rj) * base + jnp.maximum(ri, rj)
+                return jnp.where(hit, rank, INF), hit
+
+            def do_collide(_):
+                pr = (None if pr_none else _pid_ranks(pd, alive))
+
+                def min_body(t, carry):
+                    fti, ftj = carry
+                    i0 = t * ichunk
+                    cand, _ = cand_chunk(pr, i0)
+                    fti = jax.lax.dynamic_update_slice_in_dim(
+                        fti, jnp.min(cand, axis=2), i0, axis=1)
+                    ftj = jnp.minimum(ftj, jnp.min(cand, axis=1))
+                    return fti, ftj
+
+                ftINF = jnp.full(x.shape, INF, dtype=jnp.int32)
+                fti, ftj = jax.lax.fori_loop(0, trips, min_body,
+                                             (ftINF, ftINF))
+                ft = jnp.minimum(fti, ftj)
+
+                def cnt_body(t, cnt):
+                    i0 = t * ichunk
+                    cand, hit = cand_chunk(pr, i0)
+                    fti_c = islice(ft, i0)
+                    fb = (hit & (fti_c[:, :, None] == cand)
+                          & (ft[:, None, :] == cand))
+                    return cnt + jnp.sum(fb, dtype=jnp.int32)
+
+                cnt = jax.lax.fori_loop(0, trips, cnt_body, jnp.int32(0))
+                m_post = jnp.where(ft != INF, jnp.float32(0.0), mf)
+                fx2, fy2, _ = force_sweep(g * m_post, m_post, with_hit=False)
+                return ft, cnt, fx2, fy2
+
+            def no_hit(_):
+                return (jnp.full(x.shape, INF, dtype=jnp.int32),
+                        jnp.int32(0), fx0, fy0)
+
+            ft, cnt, fx, fy = jax.lax.cond(any_hit, do_collide, no_hit, None)
+        else:
+            ft = jnp.full(x.shape, INF, dtype=jnp.int32)
+            cnt = jnp.int32(0)
+            fx, fy = fx0, fy0
+        return fx, fy, ft, cnt
+
+    ins = (xd, yd, mfd, alived) + ((pid,) if pid is not None else ())
+    args = tuple(_blocked(a, cb) for a in ins)
+    fx, fy, ft, cnts = jax.lax.map(block, args)
+    return (fx.reshape(-1, kcap)[:ncells], fy.reshape(-1, kcap)[:ncells],
+            jnp.sum(cnts, dtype=jnp.int32), ft.reshape(-1, kcap)[:ncells])
+
+
 def monopole_tile_forces(xd, yd, mfd, ml_t, mxl_t, myl_t):
     """8 stencil monopole terms per slot, directly on tiles (elementwise)."""
     g = jnp.float32(G)

@@ -46,6 +46,8 @@ than the single-chip resident engine, so trajectories agree statistically
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
@@ -295,10 +297,14 @@ def make_sharded_resident_run(config: SimConfig, mesh, kcap: int, cap: int):
             return ts, jax.lax.psum(ovf, AXIS)
 
         # ---- fused pair pass (collisions + next step's pair forces) ---------
+        fused_fn = {"v1": dmod.fused_pairs, "v2": dmod.fused_pairs_v2,
+                    "v3": dmod.fused_pairs_v3}[
+            os.environ.get("PSIM_PAIR_IMPL", "v2")]
+
         def pair_pass(ts: res.TileState, collide: bool):
             mf, binned, _ = physics_mass(ts)
             ad = (binned & (ts.m > 0)).astype(jnp.int32)
-            fxd, fyd, count, ftd = dmod.fused_pairs_v2(
+            fxd, fyd, count, ftd = fused_fn(
                 ts.x, ts.y, mf, ad, ncells_t, kcap, EPSILON,
                 collide=collide, pid=ts.pid)
             died = ftd != INF

@@ -134,6 +134,9 @@ def test_fused_pairs_v2_equals_v1():
                 r2 = dense_xla.fused_pairs_v2(*args, ncells, kcap, eps,
                                               collide=collide, cb=8, pid=pid,
                                               ichunk=4)
+                r3 = dense_xla.fused_pairs_v3(*args, ncells, kcap, eps,
+                                              collide=collide, cb=8, pid=pid,
+                                              ichunk=4)
                 msg = (f"trial={trial} collide={collide} "
                        f"pid={pid is not None}")
                 # Integers (count, collision ranks) must agree exactly;
@@ -147,3 +150,14 @@ def test_fused_pairs_v2_equals_v1():
                     np.testing.assert_allclose(
                         np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-12,
                         err_msg=name + " " + msg)
+                # v3 (one-sweep + cond recompute) must be BIT-identical to
+                # v2: same chunked per-pair expressions, same reduction
+                # extents, recompute-not-correct under the hit cond.
+                assert int(r2[2]) == int(r3[2]), "v3 count " + msg
+                np.testing.assert_array_equal(np.asarray(r2[3]),
+                                              np.asarray(r3[3]),
+                                              err_msg="v3 ft " + msg)
+                for a, b, name in zip(r2[:2], r3[:2], ("fx", "fy")):
+                    np.testing.assert_array_equal(
+                        np.asarray(a), np.asarray(b),
+                        err_msg="v3 " + name + " " + msg)

@@ -11,10 +11,13 @@ Usage:
   # weak scaling: fixed n_per_shard, growing shards
 """
 
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
