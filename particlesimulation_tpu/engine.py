@@ -296,6 +296,18 @@ def make_resident_run(config: SimConfig, kcap: int, backend: str = "xla"):
     # (PSIM_ABLATE=rebin|pairs|mono skips that phase; results are wrong).
     ablate = os.environ.get("PSIM_ABLATE", "")
 
+    # Rebin backend: the Pallas kernel keeps the delivery transport
+    # VMEM-resident (the XLA round is at its fusion floor — PERF.md
+    # "Rebin cost attribution"); opt-in via PSIM_REBIN_BACKEND=pallas
+    # until silicon-validated, single-chip square-grid layout only.
+    from particlesimulation_tpu.ops.pallas import rebin_tile
+    if (os.environ.get("PSIM_REBIN_BACKEND", "xla") == "pallas"
+            and rebin_tile.supported(nc, None, None)):
+        rebin_fn = rebin_tile.rebin
+    else:
+        def rebin_fn(ts, side, nc, kcap):
+            return res.rebin(ts, side, nc, kcap)
+
     def mono_tables(ts, mf):
         # COM + stencil from the tiles (row reductions only).
         M = jnp.sum(mf, axis=1)
@@ -366,7 +378,7 @@ def make_resident_run(config: SimConfig, kcap: int, backend: str = "xla"):
         if ablate == "rebin":
             undelivered = jnp.int32(0)
         else:
-            ts, undelivered = res.rebin(ts, side, nc, kcap)
+            ts, undelivered = rebin_fn(ts, side, nc, kcap)
 
         # Collisions on the rebinned tiles (+ next step's pair forces when
         # fused).
