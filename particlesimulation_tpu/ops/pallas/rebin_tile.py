@@ -1,13 +1,23 @@
 """Pallas rebin kernel: slot-tile mover delivery with VMEM-resident transport.
 
-Why a kernel: the XLA rebin round (ops/resident.py) is at its fusion floor
-— every masked reduce-to-column + select term costs a constant
+STATUS (round 2): compiles and runs correctly on the v5e (collision
+counts exact through this path) but measured 28.8 ms/step vs the XLA
+round's 7.55 at the N=1e6 bench — one kernel round converges, yet it
+performs the same ~8 dirs × RCAP ranks × 6 fields term enumeration as
+the XLA formulation, VPU/VMEM-bound instead of HBM-bound. Kept as an
+opt-in backend (PSIM_REBIN_BACKEND=pallas) and as the recorded map of
+Mosaic's portability walls (below); the XLA round stays the default.
+Beating it needs an indexed per-element VMEM move (a gather Mosaic does
+not expose) or a different state layout — PERF.md "Pallas rebin kernel".
+
+Why it was built: the XLA rebin round (ops/resident.py) is at its fusion
+floor — every masked reduce-to-column + select term costs a constant
 ~0.015-0.018 ms at N=1e6 regardless of formulation, and the global
 while_loop runs 5-8 single-delivery rounds per step (4.2 ms, 55% of the
-fast step; measurements in PERF.md "Rebin cost attribution"). In VMEM the
-same per-(direction, rank) reductions are VPU-local, so one kernel round
-delivers up to ``RCAP`` arrivals per (row, direction) — converging in one
-round at bench mover rates — for one HBM read+write of the tiles.
+fast step; PERF.md "Rebin cost attribution"). In VMEM the same
+per-(direction, rank) reductions are VPU-local, so one kernel round
+delivers up to ``RCAP`` arrivals per (row, direction), converging in one
+round at bench mover rates, for one HBM read+write of the tiles.
 
 Shape of the kernel:
 
@@ -139,7 +149,12 @@ def _round_kernel(*refs, side, ncside, nrows, rb):
         return jnp.concatenate([ins[3 * k][:], ins[3 * k + 1][:],
                                 ins[3 * k + 2][:]], axis=0)
 
-    work = {f: ext(k) for k, f in enumerate(_FIELDS)}
+    # One ext copy per field, used BOTH as transport source and as the
+    # updated output: placements only write originally-free slots and
+    # sources are only occupied slots, so the partially-updated tensors
+    # read identical source values — and the scoped-VMEM stack drops by
+    # six ext tensors (the first silicon compile measured 23.8M).
+    out = {f: ext(k) for k, f in enumerate(_FIELDS)}
     occ = ext(6) != 0
 
     i = pl.program_id(0)
@@ -170,9 +185,7 @@ def _round_kernel(*refs, side, ncside, nrows, rb):
         sy = jnp.sign(((cy - row_cy + half) % nc32) - half)
         return moving, sx, sy
 
-    x0 = work["x"]
-    y0 = work["y"]
-    moving, sx, sy = mover_info(x0, y0, occ)
+    moving, sx, sy = mover_info(out["x"], out["y"], occ)
 
     # Rank-matched acceptance + immediate transport: each (d, r) win mask
     # is folded into all six fields before the next one is built.
@@ -190,7 +203,6 @@ def _round_kernel(*refs, side, ncside, nrows, rb):
     acc = jnp.zeros_like(n_free)
     departed = jnp.zeros(occ.shape, dtype=bool)
     arrive = jnp.zeros(occ.shape, dtype=bool)
-    out = dict(work)
     # Direction loop static (roll shifts must be constants); the rank
     # loop is a lax.fori_loop so the kernel body stays ~RCAP× smaller —
     # the fully unrolled 8×RCAP×6 form got the remote compile helper
@@ -222,14 +234,15 @@ def _round_kernel(*refs, side, ncside, nrows, rb):
             tgt = free & (fr == land)
             vals = [xv, yv, vxv, vyv, mv, pv]
             new_vals = []
-            for f, field, val in zip(_FIELDS,
-                                     [work[g] for g in _FIELDS], vals):
+            for f, val in zip(_FIELDS, vals):
+                # val doubles as transport source: placements only touch
+                # originally-free slots, sources only occupied ones.
                 if f == "pid":
-                    wcol = jnp.sum(jnp.where(src_win, field, 0), axis=1,
-                                   keepdims=True, dtype=field.dtype)
+                    wcol = jnp.sum(jnp.where(src_win, val, 0), axis=1,
+                                   keepdims=True, dtype=val.dtype)
                 else:
-                    wcol = jnp.sum(jnp.where(src_win, field,
-                                             jnp.zeros((), field.dtype)),
+                    wcol = jnp.sum(jnp.where(src_win, val,
+                                             jnp.zeros((), val.dtype)),
                                    axis=1, keepdims=True)
                 w_dst = _roll_ext(wcol, dx, dy, ncside, re_rows)
                 new_vals.append(jnp.where(tgt, w_dst, val))
