@@ -499,6 +499,11 @@ class Engine:
             if impl is None:
                 impl = "resident" if _use_dense_default() else "sweep"
             self.impl = impl
+        if kcap is None and os.environ.get("PSIM_KCAP"):
+            # Tuning override: pair cost scales with kcap x kb and every
+            # tile traversal with kcap; the lossless retry ladder still
+            # covers occupancy overflow (at the cost of a recompile).
+            kcap = int(os.environ["PSIM_KCAP"])
         self.kcap = kcap
         self._built_key = None
         self._step = None
@@ -519,9 +524,14 @@ class Engine:
 
     def _heuristic_kcap(self) -> int:
         # Poisson-tail bound on max cell occupancy for near-uniform loads;
-        # the in-graph overflow check + lossless retry covers clustered ones.
+        # the in-graph overflow check + lossless retry covers clustered
+        # ones. Sized snugly (4.5 sigma + 8): every tile traversal scales
+        # with kcap and the pair pass with kcap x kb — at the N=1e6 bench
+        # the 160-vs-192 choice is measured worth 16% of the whole step
+        # (6.53 vs 7.55 ms), and an occupancy miss only costs a lossless
+        # retry at the next 32-multiple.
         avg = max(1.0, self.config.n_particles / max(1, self.config.ncells))
-        bound = avg + 6.0 * avg ** 0.5 + 16
+        bound = avg + 4.5 * avg ** 0.5 + 8
         return min(self._round_cap(bound), cell_pairs.MAX_DENSE_KCAP)
 
     def _build(self):
@@ -564,9 +574,9 @@ class Engine:
             cy = np.clip((ys / w).astype(np.int64), 0, cfg.ncside - 1)
             occ = np.bincount(cy * cfg.ncside + cx,
                               minlength=cfg.ncells).max()
-            # Modest slack: pair-pass cost scales with kcap², and overflow
-            # retries are lossless.
-            self.kcap = min(self._round_cap(occ * 1.25 + 8),
+            # Snug slack (see _heuristic_kcap): pair-pass cost scales with
+            # kcap x kb, and overflow retries are lossless.
+            self.kcap = min(self._round_cap(occ * 1.1 + 4),
                             2 * cell_pairs.MAX_DENSE_KCAP)
         ctype = (jnp.int64 if jax.config.jax_enable_x64 else jnp.int32)
         state = SimState(

@@ -357,9 +357,12 @@ class ShardedEngine:
         cap = self.capacity or self.config.resolved_shard_capacity()
         self.capacity = cap
         if self.impl == "resident" and self.kcap is None:
+            # Snug Poisson-tail bound (engine._heuristic_kcap rationale:
+            # measured 16% of the step at the bench shape; overflow
+            # retries are lossless).
             avg = max(1.0, self.config.n_particles
                       / max(1, self.config.ncells))
-            self.kcap = self._round_cap(avg + 6.0 * avg ** 0.5 + 16)
+            self.kcap = self._round_cap(avg + 4.5 * avg ** 0.5 + 8)
         key = (self.impl, cap,
                self.kcap if self.impl == "resident" else None)
         if self._built_key == key and self._run is not None:
@@ -407,7 +410,7 @@ class ShardedEngine:
                 np.clip(cy, 0, cfg.ncside - 1) * cfg.ncside
                 + np.clip(cx, 0, cfg.ncside - 1),
                 minlength=cfg.ncells).max()
-            self.kcap = self._round_cap(occ * 1.25 + 8)
+            self.kcap = self._round_cap(occ * 1.1 + 4)
         if self.capacity is None:
             # Size slabs from actual initial occupancy with migration slack.
             need = int(counts.max() * 1.5) + 16
