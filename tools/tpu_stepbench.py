@@ -9,12 +9,15 @@ time = (t(run K) - t(run 1)) / (K - 1) with scalar-readback fences.
 Usage: python tools/tpu_stepbench.py [N] [ncside] [steps] [sweep|dense]
 """
 
+import os
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def device_init_state(config, engine):
