@@ -471,10 +471,12 @@ def _dense_backend_default() -> str:
 class Engine:
     """Single-chip engine: init, jitted run loop, result extraction.
 
-    Fast precision auto-selects the dense Pallas implementation on TPU with
+    Fast precision auto-selects the dense implementation on TPU with
     occupancy-adaptive tile capacity; overflow triggers a transparent
-    retry at doubled capacity (falling back to the XLA sweep beyond
-    ``cell_pairs.MAX_DENSE_KCAP``).
+    retry at grown capacity, falling back to the XLA sweep beyond the
+    backend's tile-capacity bound (``cell_pairs.MAX_DENSE_KCAP`` for
+    Pallas VMEM tiles, ``dense_xla.MAX_XLA_KCAP`` for the lax.map
+    formulation — see ``_max_kcap``).
     """
 
     def __init__(self, config: SimConfig, kcap: int | None = None,
@@ -532,13 +534,23 @@ class Engine:
         # retry at the next 32-multiple.
         avg = max(1.0, self.config.n_particles / max(1, self.config.ncells))
         bound = avg + 4.5 * avg ** 0.5 + 8
-        return min(self._round_cap(bound), cell_pairs.MAX_DENSE_KCAP)
+        return min(self._round_cap(bound), self._max_kcap())
+
+    def _max_kcap(self) -> int:
+        # Pallas dense tiles are VMEM-stack-bound (cell_pairs); the XLA
+        # lax.map bodies chunk (CB, ichunk, K) and scale CB down with K,
+        # so high-occupancy grids (reference MEDIUM: k≈2500) stay dense
+        # instead of dropping to the ~10× slower sweep.
+        if self.dense_backend == "pallas":
+            return cell_pairs.MAX_DENSE_KCAP
+        from particlesimulation_tpu.ops import dense_xla
+        return dense_xla.MAX_XLA_KCAP
 
     def _build(self):
         if self.use_dense:
             if self.kcap is None:
                 self.kcap = self._heuristic_kcap()
-            if self.kcap > cell_pairs.MAX_DENSE_KCAP:
+            if self.kcap > self._max_kcap():
                 self.impl = "sweep"
         key = (self.impl, self.kcap if self.use_dense else None)
         if self._built_key == key and self._run is not None:
@@ -577,7 +589,7 @@ class Engine:
             # Snug slack (see _heuristic_kcap): pair-pass cost scales with
             # kcap x kb, and overflow retries are lossless.
             self.kcap = min(self._round_cap(occ * 1.1 + 4),
-                            2 * cell_pairs.MAX_DENSE_KCAP)
+                            self._max_kcap())
         ctype = (jnp.int64 if jax.config.jax_enable_x64 else jnp.int32)
         state = SimState(
             x=jnp.asarray(xs, self.dtype),
@@ -634,7 +646,7 @@ class Engine:
                 # no delivery step.
                 self.impl = "dense"
                 self.kcap = None
-            elif self.kcap > cell_pairs.MAX_DENSE_KCAP:
+            elif self.kcap > self._max_kcap():
                 if self.impl == "resident":
                     self.impl = "dense"
                     self.kcap = None

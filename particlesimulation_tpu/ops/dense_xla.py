@@ -26,6 +26,21 @@ from particlesimulation_tpu.config import G
 # bigger blocks amortize launch overhead (the dominant cost at N=1e6).
 CELL_BLOCK = int(os.environ.get("PSIM_CELL_BLOCK", "1024"))
 
+# Dense-tile capacity bound for the XLA formulations. Unlike the Pallas
+# kernels (cell_pairs.MAX_DENSE_KCAP, a VMEM-stack constraint), the
+# lax.map bodies chunk their pair intermediates as (CB, ichunk, K) —
+# nothing (K, K)-sized exists — so high-occupancy grids (the reference's
+# MEDIUM workload runs k≈2500 per cell) stay on the dense path instead of
+# falling back to the ~10× slower sweep. Cell blocks scale down with K
+# (_eff_cb) to keep the per-iteration intermediate footprint constant.
+MAX_XLA_KCAP = int(os.environ.get("PSIM_MAX_XLA_KCAP", "4096"))
+
+
+def _eff_cb(cb: int, kcap: int) -> int:
+    if kcap <= 192:
+        return cb
+    return max(8, (cb * 192 // kcap) // 8 * 8)
+
 
 def _blocked(a, cb):
     nb = -(-a.shape[0] // cb)
@@ -38,6 +53,7 @@ def _blocked(a, cb):
 def dense_pairwise_forces(xd, yd, md, ml_t, mxl_t, myl_t, ncells: int,
                           kcap: int, cb: int = CELL_BLOCK):
     """(ncells, K) tiles + (ncells, 8) stencil → per-slot (fx, fy)."""
+    cb = _eff_cb(cb, kcap)
     g = jnp.float32(G)
 
     def block(args):
@@ -110,6 +126,7 @@ def fused_pairs(xd, yd, mfd, alived, ncells: int, kcap: int, eps: float,
     With ``collide=False`` (run prologue) no pairs collide and masses pass
     through unchanged.
     """
+    cb = _eff_cb(cb, kcap)
     g = jnp.float32(G)
     eps2 = jnp.float32(eps) * jnp.float32(eps)
     INF = jnp.int32(0x7FFFFFFF)
@@ -174,6 +191,7 @@ def fused_pairs_v2(xd, yd, mfd, alived, ncells: int, kcap: int, eps: float,
       intermediates — a closed-over hit tensor becomes a branch operand
       and costs more than it saves (PERF.md round-1 note).
     """
+    cb = _eff_cb(cb, kcap)
     g = jnp.float32(G)
     eps2 = jnp.float32(eps) * jnp.float32(eps)
     INF = jnp.int32(0x7FFFFFFF)
@@ -330,6 +348,7 @@ def fused_pairs_v3(xd, yd, mfd, alived, ncells: int, kcap: int, eps: float,
     or smaller cell blocks, and its bit-equality with v2 is pinned in
     tests/test_dense_kernels.py.
     """
+    cb = _eff_cb(cb, kcap)
     g = jnp.float32(G)
     eps2 = jnp.float32(eps) * jnp.float32(eps)
     INF = jnp.int32(0x7FFFFFFF)
@@ -481,6 +500,7 @@ def dense_collisions(xd, yd, alived, ncells: int, kcap: int, eps: float,
     reference set-rule semantics); ``pid`` tiles restore bucket-order
     tie-breaks when slot order ≠ pid order (resident impl).
     """
+    cb = _eff_cb(cb, kcap)
     eps2 = jnp.float32(eps) * jnp.float32(eps)
     INF = jnp.int32(0x7FFFFFFF)
     base = jnp.int32(kcap + 1)

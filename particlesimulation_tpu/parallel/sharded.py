@@ -501,7 +501,8 @@ class ShardedEngine:
             # losslessly with larger tiles; if growth isn't converging,
             # escalate to the sweep slab impl (always correct, slower).
             self.kcap = self._round_cap(self.kcap * 1.5)
-            if _attempt >= 2 or self.kcap > 2048:
+            from particlesimulation_tpu.ops import dense_xla
+            if _attempt >= 2 or self.kcap > dense_xla.MAX_XLA_KCAP:
                 self.impl = "sweep"
         raise RuntimeError("sharded tile capacity retries exhausted")
 

@@ -42,8 +42,10 @@ def test_escalation_chain_to_sweep(monkeypatch):
     """ncside=1 piles every particle into one cell; with a tiny dense-tile
     cap the ladder must walk resident → dense → sweep and still match the
     sweep-only run exactly (same f32 formulation after escalation)."""
+    from particlesimulation_tpu.ops import dense_xla
     from particlesimulation_tpu.ops.pallas import cell_pairs
     monkeypatch.setattr(cell_pairs, "MAX_DENSE_KCAP", 64)
+    monkeypatch.setattr(dense_xla, "MAX_XLA_KCAP", 64)
 
     cfg = SimConfig(seed=1, side=1.0, ncside=1, n_particles=300,
                     precision=Precision.FAST)
