@@ -499,7 +499,14 @@ class Engine:
             if impl is None and use_dense is not None:
                 impl = "dense" if use_dense else "sweep"
             if impl is None:
-                impl = "resident" if _use_dense_default() else "sweep"
+                # Sparse-grid regime (grid ≫ particles, the reference's
+                # SMALL workload): per-cell tiles pay ncells·K padded
+                # slots and lose to the sorted sweep (measured 3.4 vs
+                # 4.6 M/s at 0.3 particles/cell — PERF.md); dense regimes
+                # are the tile impls' home turf by 30×+.
+                avg = config.n_particles / max(1, config.ncells)
+                impl = ("resident" if _use_dense_default() and avg >= 1.5
+                        else "sweep")
             self.impl = impl
         if kcap is None and os.environ.get("PSIM_KCAP"):
             # Tuning override: pair cost scales with kcap x kb and every
