@@ -52,9 +52,12 @@ def main(argv: list[str] | None = None) -> int:
     if engine_kind == "parity":
         # Parity needs CPU + x64 + no-FMA codegen; may re-exec this process.
         from particlesimulation_tpu.utils import runtime
+        reexec_args = pos_args + ["--engine", engine_kind,
+                                  "--mesh", str(mesh)]
+        if impl is not None:
+            reexec_args += ["--impl", impl]
         runtime.ensure_parity_runtime(
-            "particlesimulation_tpu",
-            pos_args + ["--engine", engine_kind, "--mesh", str(mesh)],
+            "particlesimulation_tpu", reexec_args,
             n_cpu_devices=max(mesh, 1),
         )
 
@@ -75,7 +78,9 @@ def main(argv: list[str] | None = None) -> int:
 
     if mesh > 1:
         from particlesimulation_tpu.parallel.sharded import ShardedEngine
-        eng = ShardedEngine(config)
+        # Parity precision always runs the sweep slab impl (ShardedEngine
+        # forces it); in fast precision --impl selects resident|sweep.
+        eng = ShardedEngine(config, impl=impl)
     else:
         from particlesimulation_tpu.engine import Engine
         eng = Engine(config, impl=impl)

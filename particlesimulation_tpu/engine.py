@@ -270,10 +270,18 @@ def make_resident_run(config: SimConfig, kcap: int, backend: str = "xla"):
         ovf = jnp.where(kmax > kcap, kmax, 0).astype(jnp.int32)
         ok = valid & (pos < kcap)
         idx = jnp.where(ok, key * kcap + pos, ncells * kcap)
-        # Out-of-range (PANIC2-limbo) particles park in cell 0's tail slots;
-        # rare by construction and masked out of physics until back in range.
+        # Out-of-range (PANIC2-limbo) particles park in cell 0's tail slots,
+        # filling from slot kcap-1 *downward* so they can't silently
+        # overwrite cell 0's residents (which fill from slot 0 upward);
+        # rare by construction and masked out of physics until back in
+        # range. If the two ranks would cross, flag overflow so the
+        # lossless capacity retry fires instead of dropping a particle.
         limbo = (~valid) & (pos < kcap)
-        idx = jnp.where(limbo, jnp.minimum(pos, kcap - 1), idx)
+        idx = jnp.where(limbo, jnp.int32(kcap - 1) - pos, idx)
+        occ0 = jnp.sum(ok & (key == 0), dtype=jnp.int32)
+        nlimbo = jnp.sum(~valid, dtype=jnp.int32)
+        crowd = occ0 + nlimbo
+        ovf = jnp.maximum(ovf, jnp.where(crowd > kcap, crowd, 0))
         return res.TileState(
             x=scatter_dense(idx, state.x),
             y=scatter_dense(idx, state.y),
@@ -345,9 +353,7 @@ def make_resident_run(config: SimConfig, kcap: int, backend: str = "xla"):
             # v2 measured fastest on the v5e (7.55 ms/step at the bench
             # config); v3's one-sweep restructure lost 1.2 ms to cond
             # overhead + double-swept hit blocks (dense_xla.fused_pairs_v3).
-            fused_fn = {"v1": dmod.fused_pairs, "v2": dmod.fused_pairs_v2,
-                        "v3": dmod.fused_pairs_v3}[
-                os.environ.get("PSIM_PAIR_IMPL", "v2")]
+            fused_fn = _mono.resolve_pair_impl()
         fxd, fyd, count, ftd = fused_fn(
             ts.x, ts.y, mf, ad, ncells, kcap, EPSILON, collide=collide,
             pid=ts.pid)
@@ -507,6 +513,9 @@ class Engine:
                 avg = config.n_particles / max(1, config.ncells)
                 impl = ("resident" if _use_dense_default() and avg >= 1.5
                         else "sweep")
+            if impl not in ("resident", "dense", "sweep"):
+                raise ValueError(f"unknown impl {impl!r}; "
+                                 "valid: resident, dense, sweep")
             self.impl = impl
         if kcap is None and os.environ.get("PSIM_KCAP"):
             # Tuning override: pair cost scales with kcap x kb and every

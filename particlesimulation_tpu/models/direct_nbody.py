@@ -34,11 +34,23 @@ class DirectState(NamedTuple):
 
 
 def _pair_forces(x, y, m, side, jchunk=512):
-    """Exact all-pairs gravity with periodic minimum image."""
+    """Exact all-pairs gravity with periodic minimum image.
+
+    N is padded up to a multiple of jchunk with zero-mass particles so the
+    chunked i-loop covers every particle (a floored chunk count silently
+    zeroed the tail's forces for non-multiple N — round-2 verdict bug).
+    Zero-mass pads exert no force on real rows and their own force rows
+    are sliced away before returning.
+    """
     n = x.shape[0]
+    npad = ((n + jchunk - 1) // jchunk) * jchunk
+    if npad != n:
+        ext = npad - n
+        x = jnp.concatenate([x, jnp.zeros(ext, x.dtype)])
+        y = jnp.concatenate([y, jnp.zeros(ext, y.dtype)])
+        m = jnp.concatenate([m, jnp.zeros(ext, m.dtype)])
     dt = x.dtype
     g = jnp.asarray(G, dt)
-    half = jnp.asarray(side / 2, dt)
     sidea = jnp.asarray(side, dt)
     fx = jnp.zeros_like(x)
     fy = jnp.zeros_like(x)
@@ -63,9 +75,9 @@ def _pair_forces(x, y, m, side, jchunk=512):
         fy = jax.lax.dynamic_update_slice_in_dim(fy, fyc, i0 * jchunk, 0)
         return fx, fy
 
-    nchunks = n // jchunk
+    nchunks = npad // jchunk
     fx, fy = jax.lax.fori_loop(0, nchunks, chunk, (fx, fy))
-    return fx, fy
+    return fx[:n], fy[:n]
 
 
 def make_step(side: float, n: int):

@@ -36,6 +36,24 @@ CELL_BLOCK = int(os.environ.get("PSIM_CELL_BLOCK", "1024"))
 MAX_XLA_KCAP = int(os.environ.get("PSIM_MAX_XLA_KCAP", "4096"))
 
 
+def resolve_pair_impl(name: str | None = None):
+    """Fused-pair-pass variant selector (shared by every tile engine).
+
+    v2 is the measured-fastest default on silicon (PERF.md); v1/v3 stay
+    selectable for A/B runs via PSIM_PAIR_IMPL. An unknown name raises a
+    ValueError naming the valid options instead of a bare KeyError.
+    """
+    if name is None:
+        name = os.environ.get("PSIM_PAIR_IMPL", "v2")
+    table = {"v1": fused_pairs, "v2": fused_pairs_v2, "v3": fused_pairs_v3}
+    fn = table.get(name)
+    if fn is None:
+        raise ValueError(
+            f"unknown pair impl {name!r} (PSIM_PAIR_IMPL); "
+            f"valid: {sorted(table)}")
+    return fn
+
+
 def _eff_cb(cb: int, kcap: int) -> int:
     if kcap <= 192:
         return cb

@@ -49,6 +49,16 @@ from particlesimulation_tpu.state import ShardedState
 
 AXIS = "rows"
 
+# Overflow-cause sentinels. ``ShardedState.overflow`` combines causes via
+# ``maximum``, so the largest sentinel present wins and the engine's retry
+# ladder dispatches on ranges: values below CAP_OVF are tile-occupancy /
+# migration counts (fixable by growing the resident kcap or the sweep
+# migration buffer); CAP_OVF+deficit means a slab ran out of slots (grow
+# shard capacity and replay); STRAY_OVF means the slab invariant was
+# violated (a particle outside its owner's rows) — not capacity-fixable.
+CAP_OVF = 1 << 28
+STRAY_OVF = 1 << 29
+
 
 def _ring_perm(d: int, shift: int):
     return [(i, (i + shift) % d) for i in range(d)]
@@ -342,9 +352,13 @@ class ShardedEngine:
             if impl is None:
                 impl = os.environ.get("PSIM_SHARD_IMPL", "resident")
             self.impl = impl
+        if self.impl not in ("resident", "sweep"):
+            raise ValueError(
+                f"unknown sharded impl {self.impl!r}; valid: resident, sweep")
         self.kcap = kcap
         self.capacity = (config.shard_capacity
                          or None)  # finalized at init_state from occupancy
+        self.bcap = config.migration_capacity or None  # adaptive, see run()
         self._built_key = None
         self._step = None
         self._run = None
@@ -363,7 +377,9 @@ class ShardedEngine:
             avg = max(1.0, self.config.n_particles
                       / max(1, self.config.ncells))
             self.kcap = self._round_cap(avg + 4.5 * avg ** 0.5 + 8)
-        key = (self.impl, cap,
+        if self.bcap is None:
+            self.bcap = max(64, cap // 2)
+        key = (self.impl, cap, self.bcap,
                self.kcap if self.impl == "resident" else None)
         if self._built_key == key and self._run is not None:
             return
@@ -374,8 +390,8 @@ class ShardedEngine:
                 self.config, self.mesh, self.kcap, cap)
             self._step = None
         else:
-            bcap = self.config.migration_capacity or max(64, cap // 2)
-            self._step = make_sharded_step(self.config, self.mesh, cap, bcap)
+            self._step = make_sharded_step(self.config, self.mesh, cap,
+                                           self.bcap)
             self._run = jax.jit(
                 lambda s, nsteps: jax.lax.fori_loop(
                     0, nsteps, lambda i, st: self._step(st), s))
@@ -389,8 +405,27 @@ class ShardedEngine:
         the same split happens here on the host.
         """
         cfg = self.config
-        d = cfg.n_shards
         xs, ys, vxs, vys, ms = init_particles_host(cfg)
+        n = cfg.n_particles
+        particles = {
+            "x": xs, "y": ys, "vx": vxs, "vy": vys, "m": ms,
+            "alive": np.ones(n, dtype=bool),
+            "pid": np.arange(n, dtype=np.int32),
+        }
+        return self.pack_particles(particles)
+
+    def pack_particles(self, particles, collisions=0, panics=0,
+                       dtype=None) -> ShardedState:
+        """Scatter host particle arrays by owner row-block into slabs.
+
+        ``particles`` maps x/y/vx/vy/m/alive/pid to equal-length host
+        arrays. Also the checkpoint-restore repack path (a checkpoint from
+        a different mesh width or capacity re-enters through here).
+        """
+        cfg = self.config
+        d = cfg.n_shards
+        dtype = dtype or self.dtype
+        xs, ys = np.asarray(particles["x"]), np.asarray(particles["y"])
         w = cfg.side / cfg.ncside
         cx = (xs / w).astype(np.int32)
         cy = (ys / w).astype(np.int32)
@@ -399,8 +434,6 @@ class ShardedEngine:
         row = np.clip(cy, 0, cfg.ncside - 1)
         shard = np.where(in_range, cfg.shard_of_row(row), 0)
 
-        n = cfg.n_particles
-        pid = np.arange(n, dtype=np.int32)
         counts = np.bincount(shard, minlength=d)
         if self.impl == "resident" and self.kcap is None:
             # Occupancy-informed tile capacity (host-side, no readback);
@@ -415,6 +448,8 @@ class ShardedEngine:
             # Size slabs from actual initial occupancy with migration slack.
             need = int(counts.max() * 1.5) + 16
             self.capacity = max(need, cfg.resolved_shard_capacity())
+        if int(counts.max()) > self.capacity:
+            self.capacity = self._round_cap(counts.max() * 1.5 + 16)
         cap = self.capacity
         slabs = {k: np.zeros((d, cap), dtype=np.float64)
                  for k in ("x", "y", "vx", "vy", "m")}
@@ -423,36 +458,31 @@ class ShardedEngine:
         pids = np.full((d, cap), np.iinfo(np.int32).max, dtype=np.int32)
         for s in range(d):
             idx = np.nonzero(shard == s)[0]
-            if len(idx) > cap:
-                raise ValueError(
-                    f"shard {s} needs {len(idx)} slots > capacity {cap}; "
-                    f"raise SimConfig.shard_capacity")
             k = len(idx)
-            slabs["x"][s, :k] = xs[idx]
-            slabs["y"][s, :k] = ys[idx]
-            slabs["vx"][s, :k] = vxs[idx]
-            slabs["vy"][s, :k] = vys[idx]
-            slabs["m"][s, :k] = ms[idx]
-            alive[s, :k] = True
+            for name in ("x", "y", "vx", "vy", "m"):
+                slabs[name][s, :k] = np.asarray(particles[name])[idx]
+            alive[s, :k] = np.asarray(particles["alive"])[idx]
             valid[s, :k] = True
-            pids[s, :k] = pid[idx]
+            pids[s, :k] = np.asarray(particles["pid"])[idx]
 
         ctype = (jnp.int64 if jax.config.jax_enable_x64 else jnp.int32)
         sh = NamedSharding(self.mesh, P(AXIS))
         rep = NamedSharding(self.mesh, P())
 
-        def dev(a, dtype):
+        def dev(a, dt):
             return jax.device_put(
-                jnp.asarray(a.reshape(d * cap), dtype=dtype), sh)
+                jnp.asarray(a.reshape(d * cap), dtype=dt), sh)
 
         state = ShardedState(
-            x=dev(slabs["x"], self.dtype), y=dev(slabs["y"], self.dtype),
-            vx=dev(slabs["vx"], self.dtype), vy=dev(slabs["vy"], self.dtype),
-            m=dev(slabs["m"], self.dtype),
+            x=dev(slabs["x"], dtype), y=dev(slabs["y"], dtype),
+            vx=dev(slabs["vx"], dtype), vy=dev(slabs["vy"], dtype),
+            m=dev(slabs["m"], dtype),
             alive=dev(alive, bool), valid=dev(valid, bool),
             pid=dev(pids, jnp.int32),
-            collisions=jax.device_put(jnp.zeros((), dtype=ctype), rep),
-            panics=jax.device_put(jnp.zeros((), dtype=jnp.int32), rep),
+            collisions=jax.device_put(
+                jnp.asarray(collisions, dtype=ctype), rep),
+            panics=jax.device_put(
+                jnp.asarray(panics, dtype=jnp.int32), rep),
             overflow=jax.device_put(jnp.zeros((), dtype=jnp.int32), rep),
         )
         # Establish the sorted-slab invariant via one no-op-like sort.
@@ -479,32 +509,86 @@ class ShardedEngine:
                           out_specs=specs)
         return jax.jit(f)(state)
 
+    def _grow_state(self, state: ShardedState, new_cap: int) -> ShardedState:
+        """Re-lay a slab state out at a larger per-shard capacity.
+
+        New slots append at each shard's tail as invalid (sentinel-key,
+        pid=INT32_MAX) entries, preserving the sorted-slab invariant.
+        """
+        d = self.config.n_shards
+        old_cap = state.x.shape[0] // d
+        if old_cap >= new_cap:
+            return state
+        sh = NamedSharding(self.mesh, P(AXIS))
+
+        def grow(a, fill):
+            h = np.asarray(a).reshape(d, old_cap)
+            g = np.full((d, new_cap), fill, dtype=h.dtype)
+            g[:, :old_cap] = h
+            return jax.device_put(jnp.asarray(g.reshape(-1)), sh)
+
+        return state._replace(
+            x=grow(state.x, 0), y=grow(state.y, 0),
+            vx=grow(state.vx, 0), vy=grow(state.vy, 0),
+            m=grow(state.m, 0),
+            alive=grow(state.alive, False), valid=grow(state.valid, False),
+            pid=grow(state.pid, np.iinfo(np.int32).max))
+
     def run(self, state: ShardedState, n_steps: int) -> ShardedState:
-        for _attempt in range(6):
+        """Run ``n_steps``; overflow triggers a lossless capacity retry.
+
+        Retry ladder (the run replays from the *input* state; nothing is
+        ever dropped — the reference instead PANIC-skips or dies):
+
+        * resident tile-occupancy overflow → grow ``kcap``; if growth
+          stops converging, escalate to the sweep impl;
+        * slab-capacity exhaustion (CAP_OVF, either impl) → grow the
+          per-shard slab and replay;
+        * sweep migration-buffer overflow → grow the slab (the migration
+          buffer is sized from it) and replay;
+        * a stray particle (STRAY_OVF) is an invariant violation → raise.
+
+        The adapted ``impl``/``kcap``/``capacity`` stick for subsequent
+        runs of this engine (deliberately: the workload has demonstrated
+        the need; re-probing the failed config would recompile and refail).
+        """
+        for _attempt in range(8):
+            if self.capacity is not None:
+                state = self._grow_state(state, self.capacity)
             self._build()
-            if self.impl == "resident":
-                state_in = state._replace(
-                    overflow=jnp.zeros_like(state.overflow))
-            else:
-                state_in = state
+            state_in = state._replace(
+                overflow=jnp.zeros_like(state.overflow))
             out = self._run(state_in, jnp.int32(n_steps))
             # Scalar readback doubles as a hard completion fence (remote
             # backends may treat block_until_ready as dispatch-complete).
             jax.block_until_ready(out)
-            if int(np.asarray(out.overflow)) == 0:
+            need = int(np.asarray(out.overflow))
+            if need == 0:
                 return out
-            if self.impl != "resident":
+            if need >= int(STRAY_OVF):
                 raise RuntimeError(
-                    "migration/slab overflow — raise shard_capacity or "
-                    "migration_capacity in SimConfig")
-            # Tile occupancy outgrew the resident grid: replay the run
-            # losslessly with larger tiles; if growth isn't converging,
-            # escalate to the sweep slab impl (always correct, slower).
-            self.kcap = self._round_cap(self.kcap * 1.5)
+                    "sharded slab invariant violation: a particle sits "
+                    "outside its owner shard's rows (not capacity-fixable)")
+            if need >= int(CAP_OVF):
+                deficit = need - int(CAP_OVF)
+                cap = self.capacity or self.config.resolved_shard_capacity()
+                self.capacity = self._round_cap(cap * 1.5 + deficit)
+                continue
+            if self.impl != "resident":
+                # Sweep migration overflow: emigrant buffer (bcap) or
+                # landing-slot exhaustion — grow both and replay.
+                cap = self.capacity or self.config.resolved_shard_capacity()
+                self.capacity = self._round_cap(cap * 1.5 + need)
+                self.bcap = self._round_cap((self.bcap or 64) * 2 + need)
+                continue
+            # Resident tile occupancy outgrew the grid: larger tiles,
+            # sized to the observed occupancy when it exceeds plain growth.
+            self.kcap = max(self._round_cap(need * 1.25 + 1),
+                            self._round_cap(self.kcap * 1.5))
             from particlesimulation_tpu.ops import dense_xla
             if _attempt >= 2 or self.kcap > dense_xla.MAX_XLA_KCAP:
                 self.impl = "sweep"
-        raise RuntimeError("sharded tile capacity retries exhausted")
+        raise RuntimeError("sharded capacity retries exhausted")
 
     def result(self, state: ShardedState) -> tuple[float, float, int]:
         valid = np.asarray(state.valid)

@@ -46,8 +46,6 @@ than the single-chip resident engine, so trajectories agree statistically
 
 from __future__ import annotations
 
-import os
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
@@ -57,7 +55,7 @@ from particlesimulation_tpu.ops import binning, integrate
 from particlesimulation_tpu.ops import dense_xla as dmod
 from particlesimulation_tpu.ops import resident as res
 from particlesimulation_tpu.parallel.sharded import (
-    AXIS, _ring_perm, stencil_tables_halo)
+    AXIS, CAP_OVF, STRAY_OVF, _ring_perm, stencil_tables_halo)
 from particlesimulation_tpu.state import ShardedState
 
 INF = jnp.int32(0x7FFFFFFF)
@@ -106,16 +104,23 @@ def make_sharded_resident_run(config: SimConfig, mesh, kcap: int, cap: int):
                              jnp.int32(ncells_t))
             pos, _ = binning.segment_positions(tkey)
             kmax = binning.max_occupancy(pos, tkey < ncells_t)
-            ovf = (jnp.where(kmax > kcap, kmax, 0).astype(jnp.int32)
-                   + stray)
+            ovf = jnp.where(kmax > kcap, kmax, 0).astype(jnp.int32)
+            ovf = jnp.maximum(ovf, jnp.where(stray > 0, STRAY_OVF, 0))
             fits = pos < kcap
             idx = jnp.where(ok & fits, tkey * kcap + pos, ncells_t * kcap)
             # Out-of-range (PANIC2-limbo) particles park in the first owned
-            # row's leading cell; masked out of physics until back in range
-            # (rare by construction — see ops/binning.py docstring).
+            # row's leading cell, filling from slot kcap-1 *downward* so
+            # they can't silently overwrite that cell's residents (which
+            # fill from slot 0 up); masked out of physics until back in
+            # range (rare by construction — see ops/binning.py docstring).
+            # A rank crossing flags overflow → lossless kcap retry.
             limbo = st.valid & ~valid
             idx = jnp.where(limbo & fits,
-                            nc * kcap + jnp.minimum(pos, kcap - 1), idx)
+                            nc * kcap + (jnp.int32(kcap - 1) - pos), idx)
+            occ_first = jnp.sum(ok & (tkey == nc), dtype=jnp.int32)
+            nlimbo = jnp.sum(limbo, dtype=jnp.int32)
+            crowd = occ_first + nlimbo
+            ovf = jnp.maximum(ovf, jnp.where(crowd > kcap, crowd, 0))
 
             def scatter(a, fill=0):
                 flat = jnp.full(ncells_t * kcap, fill, a.dtype)
@@ -129,8 +134,10 @@ def make_sharded_resident_run(config: SimConfig, mesh, kcap: int, cap: int):
                 pid=scatter(st.pid),
                 collisions=st.collisions,
                 panics=st.panics,
+                # pmax, not psum: sentinel values must not sum across
+                # shards (8×STRAY_OVF would wrap int32).
                 overflow=jnp.maximum(st.overflow,
-                                     jax.lax.psum(ovf, AXIS)),
+                                     jax.lax.pmax(ovf, AXIS)),
             )
 
         # ---- physics masks --------------------------------------------------
@@ -297,9 +304,7 @@ def make_sharded_resident_run(config: SimConfig, mesh, kcap: int, cap: int):
             return ts, jax.lax.psum(ovf, AXIS)
 
         # ---- fused pair pass (collisions + next step's pair forces) ---------
-        fused_fn = {"v1": dmod.fused_pairs, "v2": dmod.fused_pairs_v2,
-                    "v3": dmod.fused_pairs_v3}[
-            os.environ.get("PSIM_PAIR_IMPL", "v2")]
+        fused_fn = dmod.resolve_pair_impl()
 
         def pair_pass(ts: res.TileState, collide: bool):
             mf, binned, _ = physics_mass(ts)
@@ -357,7 +362,9 @@ def make_sharded_resident_run(config: SimConfig, mesh, kcap: int, cap: int):
                                  jnp.asarray(fill, a.dtype))
 
             n_occ = jnp.sum(flat_occ, dtype=jnp.int32)
-            ovf = jnp.maximum(n_occ - cap, 0)
+            # Slab-capacity exhaustion is a distinct cause (growing kcap
+            # cannot fix it): flag with the CAP_OVF sentinel + deficit.
+            ovf = jnp.where(n_occ > cap, CAP_OVF + (n_occ - cap), 0)
             x = take(ts.x)
             y = take(ts.y)
             m = take(ts.m)
@@ -370,7 +377,8 @@ def make_sharded_resident_run(config: SimConfig, mesh, kcap: int, cap: int):
             return ShardedState(
                 x=x, y=y, vx=vx, vy=vy, m=m, alive=alive, valid=valid,
                 pid=pid, collisions=ts.collisions, panics=ts.panics,
-                overflow=jnp.maximum(ts.overflow, jax.lax.psum(ovf, AXIS)))
+                overflow=jnp.maximum(ts.overflow,
+                                     jax.lax.pmax(ovf, AXIS)))
 
         ts = prologue(slab)
         fxd, fyd, _, _ = pair_pass(ts, collide=False)

@@ -4,33 +4,111 @@ The reference has none (state lives in memory for the whole run; SURVEY §5).
 Here states serialize to ``.npz`` — enough to resume a run exactly (the step
 function is pure, so a restored state continues bit-identically) and the
 backbone of the step-diff debugging workflow in :mod:`.debug`.
+
+Both state families round-trip: single-chip :class:`SimState` and the
+mesh-parallel :class:`ShardedState` (the extra ``valid`` mask plus the
+per-shard slab geometry distinguishes them; the shard count is recorded so
+a restore onto a different mesh width is re-packed rather than corrupted).
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-from particlesimulation_tpu.state import SimState
+from particlesimulation_tpu.state import ShardedState, SimState
 
 _FIELDS = ("x", "y", "vx", "vy", "m", "alive", "pid", "collisions", "panics",
            "overflow")
+_SHARDED_FIELDS = _FIELDS + ("valid",)
 
 
-def save_state(path: str, state: SimState) -> None:
+def save_state(path: str, state) -> None:
+    """Serialize a SimState or ShardedState (detected by the valid mask)."""
+    fields = _SHARDED_FIELDS if isinstance(state, ShardedState) else _FIELDS
     np.savez_compressed(path, **{f: np.asarray(getattr(state, f))
-                                 for f in _FIELDS})
+                                 for f in fields})
 
 
-def load_state(path: str, dtype=None) -> SimState:
+def save_sharded_state(path: str, state: ShardedState,
+                       n_shards: int) -> None:
+    """Serialize a ShardedState with its slab geometry.
+
+    ``n_shards`` is recorded so :func:`load_sharded_state` can re-pack the
+    flat (D*C,) slabs for a different mesh width or capacity.
+    """
+    arrs = {f: np.asarray(getattr(state, f)) for f in _SHARDED_FIELDS}
+    arrs["n_shards"] = np.asarray(n_shards, np.int32)
+    np.savez_compressed(path, **arrs)
+
+
+def load_state(path: str, dtype=None):
+    """Restore a state saved by save_state / save_sharded_state.
+
+    Returns a SimState or ShardedState matching what was saved (host
+    arrays; sharded slabs are NOT re-placed on a mesh — use
+    :func:`restore_sharded` through an engine for that).
+    """
     import jax.numpy as jnp
 
     z = np.load(path)
+
     def arr(f, dt=None):
         a = z[f]
         return jnp.asarray(a if dt is None else a.astype(dt))
+
     dt = dtype
-    return SimState(
+    common = dict(
         x=arr("x", dt), y=arr("y", dt), vx=arr("vx", dt), vy=arr("vy", dt),
         m=arr("m", dt), alive=arr("alive"), pid=arr("pid"),
         collisions=arr("collisions"), panics=arr("panics"),
         overflow=arr("overflow"))
+    if "valid" in z.files:
+        return ShardedState(valid=arr("valid"), **common)
+    return SimState(**common)
+
+
+def restore_sharded(path: str, engine, dtype=None) -> ShardedState:
+    """Load a sharded checkpoint and place it on ``engine``'s mesh.
+
+    Handles capacity/mesh-width changes by gathering the valid particles
+    and re-scattering them through the engine's own slab packer: the
+    result is a legal input for ``engine.run`` regardless of how the
+    checkpoint's slabs were laid out. When the geometry matches exactly
+    the slabs are placed as-is (bit-exact resume).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from particlesimulation_tpu.parallel.sharded import AXIS
+
+    z = np.load(path)
+    d = engine.config.n_shards
+    saved_shards = int(z["n_shards"]) if "n_shards" in z.files else None
+    total = z["x"].shape[0]
+    cap = engine.capacity or engine.config.resolved_shard_capacity()
+    sh = NamedSharding(engine.mesh, P(AXIS))
+    rep = NamedSharding(engine.mesh, P())
+    dt = dtype or engine.dtype
+
+    if saved_shards == d and total == d * cap:
+        def place(f, cast=None):
+            a = z[f]
+            return jax.device_put(
+                jnp.asarray(a if cast is None else a.astype(cast)), sh)
+
+        return ShardedState(
+            x=place("x", dt), y=place("y", dt),
+            vx=place("vx", dt), vy=place("vy", dt), m=place("m", dt),
+            alive=place("alive"), valid=place("valid"), pid=place("pid"),
+            collisions=jax.device_put(jnp.asarray(z["collisions"]), rep),
+            panics=jax.device_put(jnp.asarray(z["panics"]), rep),
+            overflow=jax.device_put(jnp.asarray(z["overflow"]), rep))
+
+    # Geometry changed: gather valid particles, re-pack by owner row-block.
+    valid = z["valid"]
+    particles = {f: z[f][valid] for f in ("x", "y", "vx", "vy", "m",
+                                          "alive", "pid")}
+    return engine.pack_particles(
+        particles, collisions=z["collisions"], panics=z["panics"],
+        dtype=dt)

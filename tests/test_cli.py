@@ -46,3 +46,20 @@ def test_cli_fast_mesh_golden_vector():
     r = _run_cli(base)
     assert r.returncode == 0, r.stderr
     assert r.stdout.strip().splitlines() == ["0.002 0.035", "2"]
+
+
+def test_cli_mesh_honors_impl():
+    """--mesh N --impl sweep must select the sweep slab impl (round-2
+    verdict: --impl was parsed but silently ignored under --mesh)."""
+    base = ["5893", "0.05", "3", "10", "10", "--engine", "fast",
+            "--mesh", "3", "--impl", "sweep"]
+    r = _run_cli(base, extra_env={"PSIM_SHARD_IMPL": "resident"})
+    assert r.returncode == 0, r.stderr
+    assert r.stdout.strip().splitlines() == ["0.002 0.035", "2"]
+
+
+def test_cli_rejects_unknown_impl():
+    r = _run_cli(["5893", "0.05", "3", "10", "10", "--engine", "fast",
+                  "--mesh", "3", "--impl", "bogus"])
+    assert r.returncode != 0
+    assert "bogus" in (r.stderr + r.stdout)

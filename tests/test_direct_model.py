@@ -14,6 +14,41 @@ def test_direct_runs_and_conserves():
     assert np.isfinite(np.asarray(st.x)).all()
 
 
+def test_direct_nonmultiple_n_tail_gets_forces():
+    # Regression: N=600 > jchunk=512 and not a multiple — the floored
+    # chunk count used to leave particles [512:] with identically zero
+    # force. Assert the tail actually moves under gravity.
+    import jax.numpy as jnp
+    from particlesimulation_tpu.models.direct_nbody import _pair_forces
+
+    sim = DirectSimulation(seed=1, side=100.0, n_particles=600)
+    fx, fy = _pair_forces(sim.state.x, sim.state.y, sim.state.m, 100.0,
+                          jchunk=512)
+    tail = np.abs(np.asarray(fx)[512:]) + np.abs(np.asarray(fy)[512:])
+    assert (tail > 0).all(), "tail particles received zero force"
+    # And the padded path must agree with an unchunked evaluation.
+    fx1, fy1 = _pair_forces(sim.state.x, sim.state.y, sim.state.m, 100.0,
+                            jchunk=600)
+    scale = float(np.abs(np.asarray(fx)).max())
+    np.testing.assert_allclose(np.asarray(fx), np.asarray(fx1), rtol=1e-4,
+                               atol=scale * 1e-5)
+    np.testing.assert_allclose(np.asarray(fy), np.asarray(fy1), rtol=1e-4,
+                               atol=scale * 1e-5)
+
+
+def test_direct_vs_pic_nonmultiple_n():
+    # PIC-vs-direct cross-validation at a non-multiple-of-512 N.
+    n, side = 600, 1.0
+    d = DirectSimulation(seed=2, side=side, n_particles=n)
+    p = Simulation(seed=2, side=side, ncside=1, n_particles=n,
+                   precision="fast")
+    ds = d.run(3)
+    out = p.run(3)
+    g = out.gather()
+    dx = np.abs(np.asarray(ds.x) - g["x"]).max()
+    assert dx < side * 0.05
+
+
 def test_direct_vs_pic_shared_ics_short_horizon():
     # Same seed/side => identical initial conditions (ncside=1 convention);
     # over a few steps the PIC force is dominated by the same-cell exact
