@@ -348,7 +348,12 @@ def make_resident_run(config: SimConfig, kcap: int, backend: str = "xla"):
         # collision tie-breaks: resident slot order departs from pid order
         # after migration (serial/parsim.cpp:393-411).
         if backend == "pallas":
-            fused_fn = dmod.fused_pairs
+            # v2 = fori_loop chunk loops (VMEM stack reuse -> wide chunks)
+            # + occupancy trims + hit gating; v1 = the unrolled round-1
+            # kernel kept for A/B (PERF.md "Pallas kernels on silicon").
+            fused_fn = (dmod.fused_pairs
+                        if os.environ.get("PSIM_PALLAS_PAIR") == "v1"
+                        else dmod.fused_pairs_v2)
         else:
             # v2 measured fastest on the v5e (7.55 ms/step at the bench
             # config); v3's one-sweep restructure lost 1.2 ms to cond
@@ -507,15 +512,23 @@ class Engine:
             if impl is None:
                 # Sparse-grid regime (grid ≫ particles, the reference's
                 # SMALL workload): per-cell tiles pay ncells·K padded
-                # slots and lose to the sorted sweep (measured 3.4 vs
-                # 4.6 M/s at 0.3 particles/cell — PERF.md); dense regimes
-                # are the tile impls' home turf by 30×+.
+                # slots (measured 147 ms/step at 0.3 particles/cell —
+                # PERF.md); super-cell tiles merge S×S cells per row so
+                # tile count tracks particles, not cells. Dense regimes
+                # stay on per-cell resident tiles (their home turf by
+                # 30×+); tiny grids fall back to the sweep.
                 avg = config.n_particles / max(1, config.ncells)
-                impl = ("resident" if _use_dense_default() and avg >= 1.5
-                        else "sweep")
-            if impl not in ("resident", "dense", "sweep"):
+                if _use_dense_default() and avg >= 1.5:
+                    impl = "resident"
+                else:
+                    from particlesimulation_tpu.ops.supercell import (
+                        choose_supercell_factor)
+                    s = choose_supercell_factor(config)
+                    impl = "supercell" if (_use_dense_default()
+                                           and s is not None) else "sweep"
+            if impl not in ("resident", "dense", "sweep", "supercell"):
                 raise ValueError(f"unknown impl {impl!r}; "
-                                 "valid: resident, dense, sweep")
+                                 "valid: resident, dense, sweep, supercell")
             self.impl = impl
         if kcap is None and os.environ.get("PSIM_KCAP"):
             # Tuning override: pair cost scales with kcap x kb and every
@@ -529,7 +542,27 @@ class Engine:
 
     @property
     def use_dense(self) -> bool:
-        return self.impl in ("dense", "resident")
+        return self.impl in ("dense", "resident", "supercell")
+
+    def _supercell_factor(self) -> int:
+        if getattr(self, "_sc_factor", None) is None:
+            if os.environ.get("PSIM_SC_FACTOR"):
+                # Tuning override for A/B sweeps (see PERF.md).
+                self._sc_factor = int(os.environ["PSIM_SC_FACTOR"])
+                return self._sc_factor
+            from particlesimulation_tpu.ops.supercell import (
+                choose_supercell_factor)
+            s = choose_supercell_factor(self.config)
+            if s is None:
+                # Explicitly requested supercell on an unsuited shape:
+                # coarsen as far as the grid allows.
+                s = max(2, self.config.ncside // 8)
+            self._sc_factor = s
+        return self._sc_factor
+
+    def _sc_rows(self) -> int:
+        nsc = -(-self.config.ncside // self._supercell_factor())
+        return nsc * nsc
 
     # -- build ------------------------------------------------------------
 
@@ -548,7 +581,9 @@ class Engine:
         # the 160-vs-192 choice is measured worth 16% of the whole step
         # (6.53 vs 7.55 ms), and an occupancy miss only costs a lossless
         # retry at the next 32-multiple.
-        avg = max(1.0, self.config.n_particles / max(1, self.config.ncells))
+        rows = (self._sc_rows() if self.impl == "supercell"
+                else max(1, self.config.ncells))
+        avg = max(1.0, self.config.n_particles / rows)
         bound = avg + 4.5 * avg ** 0.5 + 8
         return min(self._round_cap(bound), self._max_kcap())
 
@@ -557,15 +592,23 @@ class Engine:
         # lax.map bodies chunk (CB, ichunk, K) and scale CB down with K,
         # so high-occupancy grids (reference MEDIUM: k≈2500) stay dense
         # instead of dropping to the ~10× slower sweep.
-        if self.dense_backend == "pallas":
-            return cell_pairs.MAX_DENSE_KCAP
-        from particlesimulation_tpu.ops import dense_xla
-        return dense_xla.MAX_XLA_KCAP
+        if self.impl == "supercell" or self.dense_backend != "pallas":
+            # Super-cell rows use the XLA fused kernels regardless of the
+            # configured dense backend (the Pallas kernels have no
+            # same-cell-label mask).
+            from particlesimulation_tpu.ops import dense_xla
+            return dense_xla.MAX_XLA_KCAP
+        return cell_pairs.MAX_DENSE_KCAP
 
     def _build(self):
         if self.use_dense:
             if self.kcap is None:
                 self.kcap = self._heuristic_kcap()
+            if self.impl == "supercell":
+                # The epilogue compaction needs rows*kcap >= N slots.
+                need = (-(-self.config.n_particles // self._sc_rows())
+                        + 8)
+                self.kcap = max(self.kcap, self._round_cap(need))
             if self.kcap > self._max_kcap():
                 self.impl = "sweep"
         key = (self.impl, self.kcap if self.use_dense else None)
@@ -574,6 +617,13 @@ class Engine:
         if self.impl == "resident":
             step, prologue, run = make_resident_run(
                 self.config, self.kcap, self.dense_backend)
+            self._run = jax.jit(run)
+            self._step = lambda st: run(st, 1)
+        elif self.impl == "supercell":
+            from particlesimulation_tpu.ops.supercell import (
+                make_supercell_run)
+            step, prologue, run = make_supercell_run(
+                self.config, self.kcap, self._supercell_factor())
             self._run = jax.jit(run)
             self._step = lambda st: run(st, 1)
         elif self.impl == "dense":
@@ -600,8 +650,14 @@ class Engine:
             w = cfg.side / cfg.ncside
             cx = np.clip((xs / w).astype(np.int64), 0, cfg.ncside - 1)
             cy = np.clip((ys / w).astype(np.int64), 0, cfg.ncside - 1)
-            occ = np.bincount(cy * cfg.ncside + cx,
-                              minlength=cfg.ncells).max()
+            if self.impl == "supercell":
+                s = self._supercell_factor()
+                nsc = -(-cfg.ncside // s)
+                occ = np.bincount((cy // s) * nsc + (cx // s),
+                                  minlength=nsc * nsc).max()
+            else:
+                occ = np.bincount(cy * cfg.ncside + cx,
+                                  minlength=cfg.ncells).max()
             # Snug slack (see _heuristic_kcap): pair-pass cost scales with
             # kcap x kb, and overflow retries are lossless.
             self.kcap = min(self._round_cap(occ * 1.1 + 4),
@@ -662,6 +718,10 @@ class Engine:
                 # no delivery step.
                 self.impl = "dense"
                 self.kcap = None
+            elif self.impl == "supercell" and _attempt >= 2:
+                # Pathological clustering at super-cell granularity: the
+                # sorted sweep has no tile capacity to outgrow.
+                self.impl = "sweep"
             elif self.kcap > self._max_kcap():
                 if self.impl == "resident":
                     self.impl = "dense"

@@ -188,8 +188,18 @@ def fused_pairs(xd, yd, mfd, alived, ncells: int, kcap: int, eps: float,
 
 def fused_pairs_v2(xd, yd, mfd, alived, ncells: int, kcap: int, eps: float,
                    collide: bool = True, cb: int = CELL_BLOCK, pid=None,
-                   ichunk: int = 32):
+                   ichunk: int = 32, sub=None):
     """Occupancy-adaptive fused pair pass (same contract as fused_pairs).
+
+    ``sub`` (optional int32 (ncells, K) tiles): same-cell labels for
+    super-cell rows (ops/supercell.py), where one tile row covers S²
+    physical cells. When given, a pair interacts / can collide only if
+    both slots carry the same label — the reference's same-cell-only rule
+    (serial/parsim.cpp:356-366,393-411) at sub-row granularity. The
+    collision set rule decomposes exactly per label: hits never span
+    labels, so each particle's first-colliding-pair rank involves only
+    its own cell's pairs, and the row-wide pid ranks preserve the
+    within-cell pid order the tie-break depends on.
 
     Two structural optimizations over the flat K² formulation, both exact:
 
@@ -223,7 +233,9 @@ def fused_pairs_v2(xd, yd, mfd, alived, ncells: int, kcap: int, eps: float,
 
     def block(args):
         x, y, mf, alive = args[:4]
-        pd = args[4] if pid is not None else None
+        rest = list(args[4:])
+        pd = rest.pop(0) if pid is not None else None
+        sb = rest.pop(0) if sub is not None else None
         lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
         used = (mf > 0.0) | (alive > 0)
         kb = jnp.max(jnp.where(used, lane + 1, 0))
@@ -231,6 +243,11 @@ def fused_pairs_v2(xd, yd, mfd, alived, ncells: int, kcap: int, eps: float,
 
         def islice(a, i0, width=ichunk):
             return jax.lax.dynamic_slice_in_dim(a, i0, width, axis=1)
+
+        def same_cell(i0):
+            if sb is None:
+                return None
+            return islice(sb, i0)[:, :, None] == sb[:, None, :]
 
         if collide:
             # Pass 1 — hit flag only (cheapest possible pair scan).
@@ -246,6 +263,9 @@ def fused_pairs_v2(xd, yd, mfd, alived, ncells: int, kcap: int, eps: float,
                 ii = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1) + i0
                 jj = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 2)
                 hit = pa & (d2 < eps2) & (jj > ii)
+                sc = same_cell(i0)
+                if sc is not None:
+                    hit = hit & sc
                 return anyhit | jnp.any(hit)
 
             any_hit = jax.lax.fori_loop(0, trips, hit_body, jnp.bool_(False))
@@ -264,6 +284,9 @@ def fused_pairs_v2(xd, yd, mfd, alived, ncells: int, kcap: int, eps: float,
                     ii = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1) + i0
                     jj = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 2)
                     hit = pa & (d2 < eps2) & (jj > ii)
+                    sc = same_cell(i0)
+                    if sc is not None:
+                        hit = hit & sc
                     if pr is None:
                         rank = ii * base + jj
                     else:
@@ -320,6 +343,9 @@ def fused_pairs_v2(xd, yd, mfd, alived, ncells: int, kcap: int, eps: float,
             dy = y[:, None, :] - yi[:, :, None]
             d2 = dx * dx + dy * dy
             nz = d2 > 0.0
+            sc = same_cell(i0)
+            if sc is not None:
+                nz = nz & sc
             inv = jnp.where(nz, jax.lax.rsqrt(jnp.where(nz, d2, 1.0)), 0.0)
             s = gmi[:, :, None] * m_post[:, None, :] * (inv * inv * inv)
             fx = jax.lax.dynamic_update_slice_in_dim(
@@ -332,7 +358,8 @@ def fused_pairs_v2(xd, yd, mfd, alived, ncells: int, kcap: int, eps: float,
         fx, fy = jax.lax.fori_loop(0, trips, force_body, (fx0, fx0))
         return fx, fy, ft, cnt
 
-    ins = (xd, yd, mfd, alived) + ((pid,) if pid is not None else ())
+    ins = ((xd, yd, mfd, alived) + ((pid,) if pid is not None else ())
+           + ((sub,) if sub is not None else ()))
     args = tuple(_blocked(a, cb) for a in ins)
     fx, fy, ft, cnts = jax.lax.map(block, args)
     return (fx.reshape(-1, kcap)[:ncells], fy.reshape(-1, kcap)[:ncells],

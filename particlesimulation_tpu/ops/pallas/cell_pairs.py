@@ -245,6 +245,206 @@ def _fused_kernel(x_ref, y_ref, mf_ref, alive_ref, pid_ref,
     fy_ref[:] = jnp.concatenate(fy_chunks, axis=1)
 
 
+def _fused_kernel_v2(x_ref, y_ref, mf_ref, alive_ref, pid_ref,
+                     fx_ref, fy_ref, ft_ref, count_ref, *,
+                     kcap, eps2, jchunk, collide):
+    """Fused pair kernel, v2: fori_loop chunk loops + occupancy trims.
+
+    The v1 kernel unrolls its receiver-chunk loops in Python, so Mosaic
+    sums every live (CB, Ic, K) intermediate on the scoped-VMEM stack —
+    which forced 8-16-wide chunks (poor sublane utilization) and lost
+    4.3× to the XLA formulation on silicon (PERF.md "Pallas kernels on
+    silicon"). Here each chunk loop is a ``lax.fori_loop`` whose body
+    re-uses one stack frame, admitting wide (sublane-full) chunks, and
+    ports the two structural wins of dense_xla.fused_pairs_v2:
+
+    * occupancy trim — the dynamic trip count runs only to the highest
+      used slot (arrivals fill lowest slots first, so this tracks real
+      occupancy, not capacity);
+    * hit gating — a cheap d²-only pass computes a per-block "any pair
+      within ε" flag, and the rank/min/count collision machinery runs
+      under a ``lax.cond`` only for blocks that actually hit.
+
+    Semantics and outputs are identical to ``_fused_kernel``.
+    """
+    x = x_ref[:]
+    y = y_ref[:]
+    mf = mf_ref[:]
+    INF = jnp.int32(0x7FFFFFFF)
+    base = jnp.int32(kcap + 1)
+    g = jnp.float32(G)
+    nb = kcap // jchunk
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+
+    def islice(a, i0):
+        return jax.lax.dynamic_slice_in_dim(a, i0, jchunk, axis=1)
+
+    if collide:
+        alive = alive_ref[:]
+        used = (mf > 0.0) | (alive > 0)
+        kb = jnp.max(jnp.where(used, lane + 1, 0))
+        trips = jnp.minimum((kb + jchunk - 1) // jchunk, nb)
+
+        def hit_body(t, anyhit):
+            i0 = t * jchunk
+            xi = islice(x, i0)
+            yi = islice(y, i0)
+            ai = islice(alive, i0)
+            dx = x[:, None, :] - xi[:, :, None]      # (CB, Ic, K)
+            dy = y[:, None, :] - yi[:, :, None]
+            d2 = dx * dx + dy * dy
+            pa = (ai[:, :, None] * alive[:, None, :]) > 0
+            ii = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1) + i0
+            jj = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 2)
+            return anyhit | jnp.any(pa & (d2 < eps2) & (jj > ii))
+
+        any_hit = jax.lax.fori_loop(0, trips, hit_body, jnp.bool_(False))
+
+        def do_collide(_):
+            def pr_body(t, pr):
+                i0 = t * jchunk
+                pi = islice(pid_ref[:], i0)
+                less = ((alive[:, None, :] > 0)
+                        & (pid_ref[:][:, None, :] < pi[:, :, None]))
+                return jax.lax.dynamic_update_slice_in_dim(
+                    pr, jnp.sum(less, axis=2, dtype=jnp.int32), i0, axis=1)
+
+            pr0 = jnp.zeros(x.shape, dtype=jnp.int32)
+            pr = jax.lax.fori_loop(0, trips, pr_body, pr0)
+
+            def cand_chunk(i0):
+                xi = islice(x, i0)
+                yi = islice(y, i0)
+                ai = islice(alive, i0)
+                dx = x[:, None, :] - xi[:, :, None]
+                dy = y[:, None, :] - yi[:, :, None]
+                d2 = dx * dx + dy * dy
+                pa = (ai[:, :, None] * alive[:, None, :]) > 0
+                ii = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1) + i0
+                jj = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 2)
+                hit = pa & (d2 < eps2) & (jj > ii)
+                ri = islice(pr, i0)[:, :, None]
+                rj = pr[:, None, :]
+                rank = jnp.minimum(ri, rj) * base + jnp.maximum(ri, rj)
+                return jnp.where(hit, rank, INF), hit
+
+            def min_body(t, carry):
+                fti, ftj = carry
+                i0 = t * jchunk
+                cand, _ = cand_chunk(i0)
+                fti = jax.lax.dynamic_update_slice_in_dim(
+                    fti, jnp.min(cand, axis=2), i0, axis=1)
+                ftj = jnp.minimum(ftj, jnp.min(cand, axis=1))
+                return fti, ftj
+
+            ftINF = jnp.full(x.shape, INF, dtype=jnp.int32)
+            fti, ftj = jax.lax.fori_loop(0, trips, min_body, (ftINF, ftINF))
+            ft = jnp.minimum(fti, ftj)
+
+            def cnt_body(t, cnt):
+                i0 = t * jchunk
+                cand, hit = cand_chunk(i0)
+                fti_c = islice(ft, i0)
+                fb = (hit & (fti_c[:, :, None] == cand)
+                      & (ft[:, None, :] == cand))
+                return cnt + jnp.sum(
+                    jnp.sum(fb, axis=2, dtype=jnp.int32), axis=1,
+                    keepdims=True, dtype=jnp.int32)
+
+            cnt0 = jnp.zeros((x.shape[0], 1), dtype=jnp.int32)
+            cnt = jax.lax.fori_loop(0, trips, cnt_body, cnt0)
+            return ft, cnt
+
+        def no_collide(_):
+            return (jnp.full(x.shape, INF, dtype=jnp.int32),
+                    jnp.zeros((x.shape[0], 1), dtype=jnp.int32))
+
+        ft, count = jax.lax.cond(any_hit, do_collide, no_collide, None)
+        m_post = jnp.where(ft != INF, jnp.float32(0.0), mf)
+    else:
+        used = mf > 0.0
+        kb = jnp.max(jnp.where(used, lane + 1, 0))
+        trips = jnp.minimum((kb + jchunk - 1) // jchunk, nb)
+        ft = jnp.full(x.shape, INF, dtype=jnp.int32)
+        count = jnp.zeros((x.shape[0], 1), dtype=jnp.int32)
+        m_post = mf
+    ft_ref[:] = ft
+    count_ref[:] = count
+
+    gm = g * m_post
+    fx_ref[:] = jnp.zeros_like(x)
+    fy_ref[:] = jnp.zeros_like(x)
+
+    def force_body(t, _):
+        i0 = t * jchunk
+        xi = islice(x, i0)
+        yi = islice(y, i0)
+        gmi = islice(gm, i0)
+        dx = x[:, None, :] - xi[:, :, None]
+        dy = y[:, None, :] - yi[:, :, None]
+        d2 = dx * dx + dy * dy
+        nz = d2 > 0.0
+        inv = jnp.where(nz, jax.lax.rsqrt(jnp.where(nz, d2, 1.0)), 0.0)
+        s = gmi[:, :, None] * m_post[:, None, :] * (inv * inv * inv)
+        fx_ref[:, pl.ds(i0, jchunk)] = jnp.sum(s * dx, axis=2)
+        fy_ref[:, pl.ds(i0, jchunk)] = jnp.sum(s * dy, axis=2)
+        return 0
+
+    jax.lax.fori_loop(0, trips, force_body, 0)
+
+
+def _pick_tiling_v2(kcap: int) -> tuple[int, int]:
+    """(cells per program, receiver chunk) for the fori_loop kernel.
+
+    The fori_loop bodies re-use one VMEM stack frame, so chunks can be
+    sublane-wide. Live set per iteration ≈ a dozen (CB, Ic, K) tensors;
+    CB=8, Ic=64 at K=160 is ~8 MB total — inside the 16 MB scoped limit
+    without compiler flags. Both knobs env-tunable for A/B sweeps.
+    """
+    import os
+    cb = int(os.environ.get("PSIM_PALLAS_V2_CB", "8"))
+    ic = int(os.environ.get("PSIM_PALLAS_V2_IC", "64"))
+    ic = min(ic, kcap)
+    while kcap % ic:          # chunk must divide K (no clamped overlap)
+        ic //= 2
+    return cb, max(ic, 1)
+
+
+def fused_pairs_v2(xd, yd, mfd, alived, ncells: int, kcap: int, eps: float,
+                   collide: bool = True, pid=None):
+    """Pallas twin of ops/dense_xla.fused_pairs_v2 (fori_loop + trims)."""
+    cb, jchunk = _pick_tiling_v2(kcap)
+    nblocks = pl.cdiv(ncells, cb)
+    pad_cells = nblocks * cb - ncells
+    if pid is None:
+        pid = _slot_iota_pid(ncells, kcap)
+    xd, yd, mfd, alived, pid = _padded([xd, yd, mfd, alived, pid],
+                                       pad_cells, kcap)
+    spec = pl.BlockSpec((cb, kcap), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    cspec = pl.BlockSpec((cb, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    fx, fy, ft, counts = pl.pallas_call(
+        functools.partial(_fused_kernel_v2, kcap=kcap,
+                          eps2=float(eps) * float(eps), jchunk=jchunk,
+                          collide=collide),
+        grid=(nblocks,),
+        in_specs=[spec, spec, spec, spec, spec],
+        out_specs=(spec, spec, spec, cspec),
+        out_shape=(
+            jax.ShapeDtypeStruct(xd.shape, xd.dtype),
+            jax.ShapeDtypeStruct(xd.shape, xd.dtype),
+            jax.ShapeDtypeStruct(xd.shape, jnp.int32),
+            jax.ShapeDtypeStruct((xd.shape[0], 1), jnp.int32),
+        ),
+        interpret=_interpret(),
+    )(xd, yd, mfd, alived, pid)
+    if pad_cells:
+        fx, fy, ft, counts = (fx[:ncells], fy[:ncells], ft[:ncells],
+                              counts[:ncells])
+    return fx, fy, jnp.sum(counts, dtype=jnp.int32), ft
+
+
 def _slot_iota_pid(ncells, kcap):
     """Fallback pid tile when slot order IS pid order (sorted dense impl):
     a slot iota yields the same pair ordering as the original slot ranks."""

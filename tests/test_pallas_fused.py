@@ -50,3 +50,44 @@ def test_fused_pallas_collide_false_prologue():
     fxr, fyr, _, _ = dense_xla.fused_pairs(xd, yd, mfd, ad, ncells, kcap,
                                            EPSILON, collide=False)
     np.testing.assert_allclose(np.asarray(fx), np.asarray(fxr), rtol=2e-5)
+
+
+def test_fused_pallas_v2_matches_xla_v2_bitexact():
+    """The fori_loop v2 kernel must be bit-identical to dense_xla's v2
+    (same per-slot full-K reduction order regardless of chunking)."""
+    ncells, kcap = 12, 32
+    xd, yd, mfd, ad = _tiles(ncells, kcap)
+    ref = dense_xla.fused_pairs_v2(xd, yd, mfd, ad, ncells, kcap, EPSILON)
+    got = cell_pairs.fused_pairs_v2(xd, yd, mfd, ad, ncells, kcap, EPSILON)
+    np.testing.assert_array_equal(np.asarray(got[3]), np.asarray(ref[3]))
+    assert int(got[2]) == int(ref[2])
+    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(ref[0]))
+    np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(ref[1]))
+
+
+def test_fused_pallas_v2_pid_tiebreak():
+    """Permuted pid tiles (resident slot order != pid order) must resolve
+    chain tie-breaks identically to the XLA v2 pass."""
+    ncells, kcap = 12, 32
+    xd, yd, mfd, ad = _tiles(ncells, kcap)
+    pid = np.argsort(RNG.uniform(size=(ncells, kcap)), axis=1)
+    pid = jnp.asarray(pid.astype(np.int32))
+    ref = dense_xla.fused_pairs_v2(xd, yd, mfd, ad, ncells, kcap, EPSILON,
+                                   pid=pid)
+    got = cell_pairs.fused_pairs_v2(xd, yd, mfd, ad, ncells, kcap, EPSILON,
+                                    pid=pid)
+    np.testing.assert_array_equal(np.asarray(got[3]), np.asarray(ref[3]))
+    assert int(got[2]) == int(ref[2])
+    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(ref[0]))
+
+
+def test_fused_pallas_v2_collide_false():
+    ncells, kcap = 8, 32
+    xd, yd, mfd, ad = _tiles(ncells, kcap)
+    fx, fy, cnt, ft = cell_pairs.fused_pairs_v2(xd, yd, mfd, ad, ncells,
+                                                kcap, EPSILON, collide=False)
+    assert int(cnt) == 0
+    assert (np.asarray(ft) == 0x7FFFFFFF).all()
+    fxr, fyr, _, _ = dense_xla.fused_pairs_v2(xd, yd, mfd, ad, ncells, kcap,
+                                              EPSILON, collide=False)
+    np.testing.assert_array_equal(np.asarray(fx), np.asarray(fxr))

@@ -59,8 +59,9 @@ def main():
     ncside = int(sys.argv[2]) if len(sys.argv) > 2 else 100
     steps = int(sys.argv[3]) if len(sys.argv) > 3 else 51
     impl = sys.argv[4] if len(sys.argv) > 4 else "dense"
+    side = float(sys.argv[5]) if len(sys.argv) > 5 else 5000.0
 
-    cfg = SimConfig(seed=1, side=5000.0, ncside=ncside, n_particles=n,
+    cfg = SimConfig(seed=1, side=side, ncside=ncside, n_particles=n,
                     precision=Precision.FAST)
     if impl == "sweep":
         eng = Engine(cfg, impl="sweep")
@@ -68,6 +69,9 @@ def main():
         eng = Engine(cfg, impl="dense", dense_backend="pallas")
     elif impl == "xla":
         eng = Engine(cfg, impl="dense", dense_backend="xla")
+    elif impl == "supercell":
+        eng = Engine(cfg, impl="supercell")
+        print(f"supercell S={eng._supercell_factor()}", flush=True)
     else:
         eng = Engine(cfg, impl="resident", dense_backend="xla")
     state = device_init_state(cfg, eng)
