@@ -64,16 +64,30 @@ def choose_supercell_factor(config: SimConfig, target_occ: float = 24.0,
                             min_nsc: int = 8) -> int | None:
     """Pick S so a super-cell tile row holds ~target_occ particles.
 
-    Returns None when the super-cell layout doesn't apply (grid too small
-    to coarsen, or already dense enough that plain resident tiles win).
+    Prefers divisors of ncside: an even partition enables the fast
+    halo-table monopole path (no cell-grid transposes — see
+    make_supercell_run); a non-divisor S still works through the
+    general pack/unpack path. Returns None when the super-cell layout
+    doesn't apply (grid too small to coarsen, or already dense enough
+    that plain resident tiles win).
     """
+    import math
+
     nc = config.ncside
     avg = config.n_particles / max(1, config.ncells)
     if avg >= 1.5 or nc < 2 * min_nsc:
         return None
-    s = max(2, int(round((target_occ / max(avg, 1e-9)) ** 0.5)))
-    s = min(s, nc // min_nsc)
-    return s if s >= 2 else None
+    s_ideal = max(2.0, (target_occ / max(avg, 1e-9)) ** 0.5)
+    s_max = nc // min_nsc
+    if s_max < 2:
+        return None
+    divs = [d for d in range(2, s_max + 1) if nc % d == 0]
+    if divs:
+        # Within 2x of ideal, an even partition beats an exact match.
+        best = min(divs, key=lambda d: abs(math.log(d / s_ideal)))
+        if abs(math.log(best / s_ideal)) <= math.log(2.0):
+            return best
+    return min(max(2, int(round(s_ideal))), s_max)
 
 
 def make_supercell_run(config: SimConfig, kcap: int, S: int):
@@ -162,42 +176,18 @@ def make_supercell_run(config: SimConfig, kcap: int, S: int):
     # Sub-phase ablation for on-device cost attribution
     # (PSIM_SC_MONO=com|tables|gather truncates the path; results wrong).
     mono_ablate = os.environ.get("PSIM_SC_MONO", "")
+    # The halo-table path needs an even partition (S | ncside); the
+    # general pack/unpack path covers the rest. PSIM_SC_HALO=0 forces the
+    # general path for A/B runs.
+    halo_path = (nc % S == 0
+                 and os.environ.get("PSIM_SC_HALO", "1") != "0")
 
-    # ---- COM + monopole tables via the one-hot membership tensor --------
-    def monopole_forces(ts: res.TileState, mf, binned):
-        _, sub, _ = slot_geometry(ts.x, ts.y)
-        onehot = ((sub[:, :, None] == jnp.arange(s2, dtype=jnp.int32))
-                  & binned[:, :, None]).astype(jnp.float32)
-        # Per-cell mass / moment sums: (rows, K) x (rows, K, S²) -> (rows, S²)
-        M_sc = jnp.einsum("rk,rks->rs", mf, onehot, precision=MXU_PRECISION)
-        SX_sc = jnp.einsum("rk,rks->rs", mf * ts.x, onehot,
-                           precision=MXU_PRECISION)
-        SY_sc = jnp.einsum("rk,rks->rs", mf * ts.y, onehot,
-                           precision=MXU_PRECISION)
-        if mono_ablate == "com":
-            z = (M_sc + SX_sc + SY_sc)[:, :1]  # keep live
-            return jnp.zeros_like(ts.x) + z * 0, jnp.zeros_like(ts.x)
-        M = unpack_grid(M_sc)
-        safe = jnp.where(M > 0, M, jnp.float32(1.0))
-        MX = jnp.where(M > 0, unpack_grid(SX_sc) / safe, jnp.float32(0.0))
-        MY = jnp.where(M > 0, unpack_grid(SY_sc) / safe, jnp.float32(0.0))
-        # True-grid stencil (exact periodic mirrors at cell granularity).
-        ml, mxl, myl = stencil.stencil_tables(M, MX, MY, side, nc)
-        tbl = jnp.concatenate(
-            [ml[:, :ncells].T.reshape(nc, nc, 8),
-             mxl[:, :ncells].T.reshape(nc, nc, 8),
-             myl[:, :ncells].T.reshape(nc, nc, 8)], axis=2)  # (nc, nc, 24)
-        tbl_sc = pack_grid(tbl).reshape(rows, s2, 24)
-        if mono_ablate == "tables":
-            z = tbl_sc[:, :1, 0]
-            return jnp.zeros_like(ts.x) + z * 0, jnp.zeros_like(ts.x)
-        # Per-slot gather of its own cell's 8 neighbor terms — a batched
-        # one-hot matmul, i.e. a gather that rides the MXU.
-        slot_t = jnp.einsum("rks,rsc->rkc", onehot, tbl_sc,
-                            precision=MXU_PRECISION)
-        if mono_ablate == "gather":
-            z = slot_t[:, :, :1]
-            return jnp.zeros_like(ts.x) + z[:, :, 0] * 0, jnp.zeros_like(ts.x)
+    def _ablate_exit(ts, keep):
+        z = keep.reshape(-1)[:1] * 0
+        return jnp.zeros_like(ts.x) + z, jnp.zeros_like(ts.x)
+
+    def _force_terms(ts, mf, slot_t):
+        """8 monopole terms per slot from its gathered (24,) table row."""
         g = jnp.float32(dmod.G)
         gm = g * mf
         fx = jnp.zeros_like(ts.x)
@@ -214,6 +204,151 @@ def make_supercell_run(config: SimConfig, kcap: int, S: int):
             fx = fx + sl * dxl
             fy = fy + sl * dyl
         return fx, fy
+
+    # ---- monopole, general path: true-grid stencil + pack/unpack --------
+    def monopole_forces_general(ts: res.TileState, mf, binned):
+        _, sub, _ = slot_geometry(ts.x, ts.y)
+        onehot = ((sub[:, :, None] == jnp.arange(s2, dtype=jnp.int32))
+                  & binned[:, :, None]).astype(jnp.float32)
+        # Per-cell mass / moment sums: (rows, K) x (rows, K, S²) -> (rows, S²)
+        M_sc = jnp.einsum("rk,rks->rs", mf, onehot, precision=MXU_PRECISION)
+        SX_sc = jnp.einsum("rk,rks->rs", mf * ts.x, onehot,
+                           precision=MXU_PRECISION)
+        SY_sc = jnp.einsum("rk,rks->rs", mf * ts.y, onehot,
+                           precision=MXU_PRECISION)
+        if mono_ablate == "com":
+            return _ablate_exit(ts, M_sc + SX_sc + SY_sc)
+        M = unpack_grid(M_sc)
+        safe = jnp.where(M > 0, M, jnp.float32(1.0))
+        MX = jnp.where(M > 0, unpack_grid(SX_sc) / safe, jnp.float32(0.0))
+        MY = jnp.where(M > 0, unpack_grid(SY_sc) / safe, jnp.float32(0.0))
+        # True-grid stencil (exact periodic mirrors at cell granularity).
+        ml, mxl, myl = stencil.stencil_tables(M, MX, MY, side, nc)
+        tbl = jnp.concatenate(
+            [ml[:, :ncells].T.reshape(nc, nc, 8),
+             mxl[:, :ncells].T.reshape(nc, nc, 8),
+             myl[:, :ncells].T.reshape(nc, nc, 8)], axis=2)  # (nc, nc, 24)
+        tbl_sc = pack_grid(tbl).reshape(rows, s2, 24)
+        if mono_ablate == "tables":
+            return _ablate_exit(ts, tbl_sc)
+        # Per-slot gather of its own cell's 8 neighbor terms — a batched
+        # one-hot matmul, i.e. a gather that rides the MXU.
+        slot_t = jnp.einsum("rks,rsc->rkc", onehot, tbl_sc,
+                            precision=MXU_PRECISION)
+        if mono_ablate == "gather":
+            return _ablate_exit(ts, slot_t)
+        return _force_terms(ts, mf, slot_t)
+
+    # ---- monopole, halo-table path (S | ncside) -------------------------
+    # The general path's cost is its cell-grid shuffles: unpack×3, the
+    # (8, ncells)→(ncells, 8) transposes, and pack — measured 19.7 of
+    # 29.4 ms/step on the SMALL shape. This path never leaves super-cell
+    # layout: per-cell COM lands directly in a halo-extended (S+2)²
+    # per-tile grid whose ring is filled from ring-neighbor tiles by
+    # major-axis rolls (the cheap roll class — ops/resident.py), grid
+    # mirrors (±side) are applied to the ring of edge tiles (with S | nc
+    # the true grid edge IS the super-cell grid edge), and the per-slot
+    # 8-direction gather is one shifted-one-hot contraction (direction
+    # offsets are constant lane shifts of the halo table).
+    SP = S + 2
+    sp2 = SP * SP
+
+    def _mroll(A, bx, by):
+        """out[(scy,scx)] = A[(scy+by)%nsc, (scx+bx)%nsc] per tile row."""
+        G = A.reshape(nsc, nsc, *A.shape[1:])
+        return jnp.roll(G, (-by, -bx), axis=(0, 1)).reshape(A.shape)
+
+    scx_first = (row_scx == 0)            # (rows, 1) edge-tile masks
+    scx_last = (row_scx == nsc - 1)
+    scy_first = (row_scy == 0)
+    scy_last = (row_scy == nsc - 1)
+    side_f = jnp.float32(side)
+
+    def _halo_fill(Mh, offx_mask=None, offy_mask=None):
+        """Fill the (S+2)² ring from neighbor tiles (+ grid mirrors).
+
+        Mh: (rows, sp2) with interior values set, ring zero. offx_mask /
+        offy_mask: (edge_first, edge_last) pairs of (rows, 1) masks that
+        receive ∓/± side (the reference's temp-cell mirror offsets,
+        serial/parsim.cpp:314-347) — None for the mass field.
+        """
+        H = Mh.reshape(rows, SP, SP)
+
+        def interior(bx, by):
+            return _mroll(Mh, bx, by).reshape(rows, SP, SP)[:, 1:S + 1,
+                                                            1:S + 1]
+
+        def offx(v, at_first: bool):
+            if offx_mask is None:
+                return v
+            m = offx_mask[0] if at_first else offx_mask[1]
+            o = jnp.where(m, -side_f if at_first else side_f,
+                          jnp.float32(0.0))
+            return o + v  # reference add order: offset first
+
+        def offy(v, at_first: bool):
+            if offy_mask is None:
+                return v
+            m = offy_mask[0] if at_first else offy_mask[1]
+            o = jnp.where(m, -side_f if at_first else side_f,
+                          jnp.float32(0.0))
+            return o + v
+
+        top = offy(interior(0, -1)[:, S - 1, :], True)       # (rows, S)
+        bot = offy(interior(0, 1)[:, 0, :], False)
+        left = offx(interior(-1, 0)[:, :, S - 1], True)
+        right = offx(interior(1, 0)[:, :, 0], False)
+        tl = offy(offx(interior(-1, -1)[:, S - 1:S, S - 1], True), True)
+        tr = offy(offx(interior(1, -1)[:, S - 1:S, 0], False), True)
+        bl = offy(offx(interior(-1, 1)[:, 0:1, S - 1], True), False)
+        br = offy(offx(interior(1, 1)[:, 0:1, 0], False), False)
+        H = H.at[:, 0, 1:S + 1].set(top)
+        H = H.at[:, S + 1, 1:S + 1].set(bot)
+        H = H.at[:, 1:S + 1, 0].set(left)
+        H = H.at[:, 1:S + 1, S + 1].set(right)
+        H = H.at[:, 0, 0:1].set(tl)
+        H = H.at[:, 0, S + 1:S + 2].set(tr)
+        H = H.at[:, S + 1, 0:1].set(bl)
+        H = H.at[:, S + 1, S + 1:S + 2].set(br)
+        return H.reshape(rows, sp2)
+
+    def monopole_forces_halo(ts: res.TileState, mf, binned):
+        _, sub, _ = slot_geometry(ts.x, ts.y)
+        subh = ((sub // S + 1) * SP + (sub % S + 1))
+        onehot = ((subh[:, :, None] == jnp.arange(sp2, dtype=jnp.int32))
+                  & binned[:, :, None]).astype(jnp.float32)
+        # Per-cell sums land directly at interior halo-grid positions.
+        M_h = jnp.einsum("rk,rkh->rh", mf, onehot, precision=MXU_PRECISION)
+        SX_h = jnp.einsum("rk,rkh->rh", mf * ts.x, onehot,
+                          precision=MXU_PRECISION)
+        SY_h = jnp.einsum("rk,rkh->rh", mf * ts.y, onehot,
+                          precision=MXU_PRECISION)
+        if mono_ablate == "com":
+            return _ablate_exit(ts, M_h + SX_h + SY_h)
+        safe = jnp.where(M_h > 0, M_h, jnp.float32(1.0))
+        MX_h = jnp.where(M_h > 0, SX_h / safe, jnp.float32(0.0))
+        MY_h = jnp.where(M_h > 0, SY_h / safe, jnp.float32(0.0))
+        M_f = _halo_fill(M_h)
+        MX_f = _halo_fill(MX_h, offx_mask=(scx_first, scx_last))
+        MY_f = _halo_fill(MY_h, offy_mask=(scy_first, scy_last))
+        # Direction l's table = the halo grid lane-shifted by its constant
+        # flat offset (interior labels stay in range; wrapped entries land
+        # only at ring labels the one-hot never selects).
+        cols = []
+        for F in (M_f, MX_f, MY_f):
+            for dx, dy in stencil.STENCIL:
+                cols.append(jnp.roll(F, -(dy * SP + dx), axis=1))
+        HH = jnp.stack(cols, axis=2)                  # (rows, sp2, 24)
+        if mono_ablate == "tables":
+            return _ablate_exit(ts, HH)
+        slot_t = jnp.einsum("rkh,rhc->rkc", onehot, HH,
+                            precision=MXU_PRECISION)
+        if mono_ablate == "gather":
+            return _ablate_exit(ts, slot_t)
+        return _force_terms(ts, mf, slot_t)
+
+    monopole_forces = (monopole_forces_halo if halo_path
+                      else monopole_forces_general)
 
     # ---- rebin over the super-cell grid ---------------------------------
     def mover_fn(st: res.TileState):

@@ -114,6 +114,25 @@ def test_supercell_run_composition():
     assert int(s1.collisions) == int(s2.collisions)
 
 
+def test_supercell_halo_matches_general_path(monkeypatch):
+    # S=3 divides 24: the halo-table monopole path is active by default;
+    # PSIM_SC_HALO=0 forces the general pack/unpack path. Same physics,
+    # same results.
+    base = dict(seed=1, side=3.0, ncside=24, n_particles=300,
+                precision=Precision.FAST)
+    e1 = Engine(SimConfig(**base), impl="supercell")
+    s1 = e1.run(e1.init_state(), 15)
+    monkeypatch.setenv("PSIM_SC_HALO", "0")
+    e2 = Engine(SimConfig(**base), impl="supercell")
+    s2 = e2.run(e2.init_state(), 15)
+    assert int(s1.collisions) == int(s2.collisions)
+    np.testing.assert_array_equal(np.asarray(s1.alive), np.asarray(s2.alive))
+    np.testing.assert_allclose(np.asarray(s1.x), np.asarray(s2.x),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s1.y), np.asarray(s2.y),
+                               atol=1e-5)
+
+
 def test_choose_supercell_factor():
     # Sparse big grid: coarsens; dense grid: declines; tiny grid: declines.
     sparse = SimConfig(seed=1, side=100.0, ncside=1300, n_particles=500000)
