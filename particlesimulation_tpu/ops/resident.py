@@ -30,6 +30,7 @@ regardless of which slots are occupied, so rows are never compacted.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -41,6 +42,16 @@ from particlesimulation_tpu.ops.stencil import STENCIL
 # to 8 arrivals per row each; the cap only bounds pathological bursts before
 # the engine's lossless retry/escalation takes over.
 MAX_ROUNDS = 64
+
+# Straggler-compaction capacity: once the pending-mover count fits, the
+# remaining deliveries happen in one compact pass (two nonzero()s + an
+# 8k sort + small gather/scatter) instead of more full-grid rounds.
+# Opt-in (PSIM_REBIN_COMPACT=1): measured 5x SLOWER end-to-end on the
+# v5e (34.1 vs 6.35 ms/step at N=1e6) — nonzero() lowers to the same
+# scatter class the resident design exists to avoid (PERF.md round-3
+# "Mover compaction"). Kept for CPU-class backends and as the measured
+# negative result.
+MCAP = int(os.environ.get("PSIM_REBIN_MCAP", "8192"))
 
 
 class TileState(NamedTuple):
@@ -87,7 +98,7 @@ def _roll_grid(a, dx: int, dy: int, ncside: int, nrows: int | None = None):
 
 
 def rebin(ts: TileState, side: float, ncside: int, kcap: int,
-          mover_fn=None, nrows: int | None = None):
+          mover_fn=None, nrows: int | None = None, dest_fn=None):
     """Deliver all movers to their destination rows. Returns (ts', overflow).
 
     overflow is 0 when everything was delivered within MAX_ROUNDS and no
@@ -97,9 +108,14 @@ def rebin(ts: TileState, side: float, ncside: int, kcap: int,
     ``mover_fn(st) -> (moving, sx, sy)`` overrides the mover predicate
     (the sharded engine freezes halo-row occupants awaiting shipment and
     maps global rows to its local halo-extended grid); ``nrows`` overrides
-    the grid height for non-square local grids.
+    the grid height for non-square local grids. ``dest_fn(st) ->
+    (moving, dest_row)`` provides absolute destinations for the straggler
+    compaction (derived from positions by default; pass it alongside
+    ``mover_fn`` to enable compaction on custom grids — without it a
+    custom-grid rebin uses delivery rounds only).
     """
     ncells = (nrows or ncside) * ncside
+    nslots = ncells * kcap
     rowid = jnp.arange(ncells, dtype=jnp.int32)[:, None]  # (ncells, 1)
     row_cy = rowid // ncside
     row_cx = rowid % ncside
@@ -114,8 +130,84 @@ def rebin(ts: TileState, side: float, ncside: int, kcap: int,
 
     mover_info = mover_fn or default_mover_info
 
+    def default_dest_info(st: TileState):
+        cx, cy, valid = cell_of(st.x, st.y, side, ncside)
+        dest = cy * ncside + cx
+        moving = st.occ & valid & (dest != rowid)
+        return moving, dest
+
+    if dest_fn is None and mover_fn is None:
+        dest_fn = default_dest_info
+    compact_ok = (dest_fn is not None
+                  and os.environ.get("PSIM_REBIN_COMPACT", "0") == "1")
+
     FIELDS = ("x", "y", "vx", "vy", "m")
     lane = jnp.arange(kcap, dtype=jnp.int32)[None, :]
+
+    def compact_pass(st: TileState):
+        """Deliver all pending movers in one compacted gather/scatter.
+
+        Entered once the pending count fits MCAP: replaces the tail of
+        full-grid delivery rounds (each re-runs the whole grid for a few
+        stragglers — measured 0.87 ms/round at the N=1e6 bench, 5-8
+        rounds/step). Movers compact to an (MCAP,) buffer (nonzero),
+        sort by destination row, and land in their destination's lowest
+        free slots; the landing set is enumerated row-major (second
+        nonzero) so the i-th deliverable mover pairs with the i-th
+        landing slot by construction. Multi-row hops deliver directly
+        (no per-round neighbor stepping). Bit-exact transport: values
+        move by gather/scatter only.
+        """
+        moving, dest = dest_fn(st)
+        n_moving = jnp.sum(moving, dtype=jnp.int32)
+        mflat = moving.reshape(-1)
+        src_idx = jnp.nonzero(mflat, size=MCAP, fill_value=nslots)[0]
+        src_idx = src_idx.astype(jnp.int32)
+        in_cap = src_idx < nslots
+        destf = jnp.where(
+            in_cap,
+            dest.reshape(-1)[jnp.minimum(src_idx, nslots - 1)],
+            jnp.int32(ncells))
+        drow, sidx = jax.lax.sort((destf, src_idx), num_keys=2)
+        # Per-destination-row arrival rank (0-based, source order).
+        mc = jnp.arange(MCAP, dtype=jnp.int32)
+        first = jnp.concatenate(
+            [jnp.ones((1,), bool), drow[1:] != drow[:-1]])
+        seg_start = jax.lax.cummax(jnp.where(first, mc, 0))
+        arank = mc - seg_start
+        occ = st.occ
+        fr = jnp.cumsum((~occ).astype(jnp.int32), axis=1)  # 1-based
+        navail = fr[:, -1]
+        nav_m = jnp.where(drow < ncells,
+                          navail[jnp.minimum(drow, ncells - 1)], 0)
+        deliv = (drow < ncells) & (arank < nav_m)
+        n_del = jnp.sum(deliv, dtype=jnp.int32)
+        a_r = jnp.zeros(ncells, jnp.int32).at[
+            jnp.minimum(drow, ncells - 1)].add(
+                deliv.astype(jnp.int32), mode="drop")
+        tgt = (~occ) & (fr <= a_r[:, None])
+        tgt_idx = jnp.nonzero(tgt.reshape(-1), size=MCAP,
+                              fill_value=nslots)[0].astype(jnp.int32)
+        dm_pos = jnp.nonzero(deliv, size=MCAP,
+                             fill_value=MCAP - 1)[0].astype(jnp.int32)
+        act = mc < n_del
+        srcs = jnp.where(act, sidx[dm_pos], jnp.int32(nslots))
+        tgts = jnp.where(act, tgt_idx, jnp.int32(nslots))
+        gsrc = jnp.minimum(srcs, nslots - 1)
+
+        def move(a):
+            flat = a.reshape(-1)
+            vals = flat[gsrc]
+            return flat.at[tgts].set(vals, mode="drop").reshape(a.shape)
+
+        new = {f: move(getattr(st, f)) for f in FIELDS}
+        pidn = move(st.pid)
+        occf = occ.reshape(-1).at[tgts].set(True, mode="drop")
+        occf = occf.at[srcs].set(False, mode="drop")  # sentinels drop
+        st = st._replace(occ=occf.reshape(occ.shape), pid=pidn, **new)
+        st = st._replace(m=jnp.where(st.occ, st.m,
+                                     jnp.asarray(0.0, st.m.dtype)))
+        return st, n_moving - n_del
 
     def one_round(st: TileState):
         """One delivery round: per (row, direction), the first pending
@@ -188,10 +280,17 @@ def rebin(ts: TileState, side: float, ncside: int, kcap: int,
         _, left, rounds = carry
         return (left > 0) & (rounds < MAX_ROUNDS)
 
-    def body(carry):
-        st, _, rounds = carry
-        st, left = one_round(st)
-        return st, left, rounds + 1
+    if compact_ok:
+        def body(carry):
+            st, left, rounds = carry
+            st, left = jax.lax.cond(left <= MCAP, compact_pass, one_round,
+                                    st)
+            return st, left, rounds + 1
+    else:
+        def body(carry):
+            st, _, rounds = carry
+            st, left = one_round(st)
+            return st, left, rounds + 1
 
     st, left, _ = jax.lax.while_loop(cond, body, (ts, left0, jnp.int32(0)))
     return st, left

@@ -359,8 +359,14 @@ def make_supercell_run(config: SimConfig, kcap: int, S: int):
         sy = jnp.sign(res._wrap_delta(scy - row_scy, nsc))
         return moving, sx, sy
 
+    def dest_fn(ts: res.TileState):
+        rowk, _, valid = slot_geometry(ts.x, ts.y)
+        moving = ts.occ & valid & (rowk != rowid)
+        return moving, rowk
+
     def rebin_fn(ts):
-        return res.rebin(ts, side, nsc, kcap, mover_fn=mover_fn)
+        return res.rebin(ts, side, nsc, kcap, mover_fn=mover_fn,
+                         dest_fn=dest_fn)
 
     # ---- fused pair pass with the same-cell label mask ------------------
     def pair_pass(ts: res.TileState, collide: bool):

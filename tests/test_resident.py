@@ -101,3 +101,32 @@ def test_resident_pallas_backend_interpret():
     np.testing.assert_array_equal(apid, bpid)
     np.testing.assert_allclose(bv["x"], av["x"], rtol=0, atol=1e-5)
     np.testing.assert_array_equal(bv["alive"], av["alive"])
+
+
+def test_rebin_compact_matches_rounds(monkeypatch):
+    """Straggler compaction (opt-in; measured slower on the v5e but kept
+    as the CPU-class/A-B variant) vs the default delivery rounds: same
+    physics. Slot assignment differs (compaction packs lowest free slots
+    in row order), so f32 reduction order may differ; collision counts,
+    dead sets and positions must agree."""
+    import numpy as np
+
+    from particlesimulation_tpu.config import Precision, SimConfig
+    from particlesimulation_tpu.engine import Engine
+
+    base = dict(seed=3, side=8.0, ncside=8, n_particles=400,
+                precision=Precision.FAST)
+    monkeypatch.setenv("PSIM_REBIN_COMPACT", "1")
+    e1 = Engine(SimConfig(**base), impl="resident", dense_backend="xla")
+    s1 = e1.run(e1.init_state(), 30)
+    monkeypatch.setenv("PSIM_REBIN_COMPACT", "0")
+    e2 = Engine(SimConfig(**base), impl="resident", dense_backend="xla")
+    s2 = e2.run(e2.init_state(), 30)
+    assert int(s1.collisions) == int(s2.collisions)
+    o1 = np.argsort(np.asarray(s1.pid))
+    o2 = np.argsort(np.asarray(s2.pid))
+    np.testing.assert_array_equal(np.asarray(s1.alive)[o1],
+                                  np.asarray(s2.alive)[o2])
+    np.testing.assert_allclose(np.asarray(s1.x)[o1], np.asarray(s2.x)[o2],
+                               atol=1e-4)
+    assert (np.unique(np.asarray(s1.pid)) == np.arange(400)).all()

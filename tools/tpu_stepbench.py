@@ -72,6 +72,8 @@ def main():
     elif impl == "supercell":
         eng = Engine(cfg, impl="supercell")
         print(f"supercell S={eng._supercell_factor()}", flush=True)
+    elif impl == "resident-pallas":
+        eng = Engine(cfg, impl="resident", dense_backend="pallas")
     else:
         eng = Engine(cfg, impl="resident", dense_backend="xla")
     state = device_init_state(cfg, eng)
