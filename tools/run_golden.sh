@@ -3,7 +3,15 @@
 # (reference serial/run_tests.sh): run the CLI on each vector, compare
 # particle-0 coordinates at ±0.001 and the collision count exactly.
 #
-# Usage: tools/run_golden.sh [fast|slow|all] [--engine parity|fast] [--mesh N]
+# Usage: tools/run_golden.sh [fast|slow|all|mesh-sweep] \
+#            [--engine parity|fast] [--mesh N]
+#
+# mesh-sweep mirrors the reference MPI harness's configurable process
+# counts (reference mpi/run_tests.sh:8-16 wraps every vector in
+# mpirun -np N): every fast vector runs at --mesh 2 and --mesh ncside
+# (the row decomposition admits any n_shards <= ncside). The parity CLI
+# self-provisions its virtual CPU device mesh, so this works on any
+# machine — the analog of "mpirun on localhost".
 set -u
 cd "$(dirname "$0")/.."
 
@@ -30,18 +38,34 @@ SLOW_VECTORS=(
   "-11 3500 20 500000 10:1984.878 1625.992:35"
 )
 
+MESH_SWEEP=0
 case "$SUBSET" in
   fast) VECTORS=("${FAST_VECTORS[@]}");;
   slow) VECTORS=("${SLOW_VECTORS[@]}");;
   all)  VECTORS=("${FAST_VECTORS[@]}" "${SLOW_VECTORS[@]}");;
+  mesh-sweep) VECTORS=("${FAST_VECTORS[@]}"); MESH_SWEEP=1;;
   *) echo "unknown subset: $SUBSET" >&2; exit 2;;
 esac
 
+RUNS=()
+if [ "$MESH_SWEEP" = "1" ]; then
+  for vec in "${VECTORS[@]}"; do
+    IFS=':' read -r args _ _ <<<"$vec"
+    read -r _ _ nc _ _ <<<"$args"
+    for mesh in 2 "$nc"; do
+      [ "$mesh" -le "$nc" ] && RUNS+=("$vec:--mesh $mesh")
+    done
+  done
+else
+  for vec in "${VECTORS[@]}"; do RUNS+=("$vec:"); done
+fi
+
 pass=0; fail=0
-for vec in "${VECTORS[@]}"; do
-  IFS=':' read -r args exp_xy exp_cols <<<"$vec"
+for run in "${RUNS[@]}"; do
+  IFS=':' read -r args exp_xy exp_cols mesh_args <<<"$run"
   start=$(date +%s)
-  out=$(python -m particlesimulation_tpu $args "${EXTRA_ARGS[@]}" 2>/dev/null)
+  out=$(python -m particlesimulation_tpu $args $mesh_args \
+        "${EXTRA_ARGS[@]+"${EXTRA_ARGS[@]}"}" 2>/dev/null)
   rc=$?
   took=$(( $(date +%s) - start ))
   got_xy=$(echo "$out" | sed -n 1p)
@@ -56,9 +80,9 @@ for vec in "${VECTORS[@]}"; do
     [ "$dx" = "1" ] && [ "$dy" = "1" ] && [ "$got_cols" = "$exp_cols" ] || ok=0
   fi
   if [ $ok -eq 1 ]; then
-    pass=$((pass+1)); echo "PASS  [$args] -> $got_xy / $got_cols (${took}s)"
+    pass=$((pass+1)); echo "PASS  [$args $mesh_args] -> $got_xy / $got_cols (${took}s)"
   else
-    fail=$((fail+1)); echo "FAIL  [$args] got '$got_xy / $got_cols' want '$exp_xy / $exp_cols' (${took}s)"
+    fail=$((fail+1)); echo "FAIL  [$args $mesh_args] got '$got_xy / $got_cols' want '$exp_xy / $exp_cols' (${took}s)"
   fi
 done
 echo "----"
