@@ -45,7 +45,8 @@ def resolve_pair_impl(name: str | None = None):
     """
     if name is None:
         name = os.environ.get("PSIM_PAIR_IMPL", "v2")
-    table = {"v1": fused_pairs, "v2": fused_pairs_v2, "v3": fused_pairs_v3}
+    table = {"v1": fused_pairs, "v2": fused_pairs_v2, "v3": fused_pairs_v3,
+             "v4": fused_pairs_v4}
     fn = table.get(name)
     if fn is None:
         raise ValueError(
@@ -512,6 +513,183 @@ def fused_pairs_v3(xd, yd, mfd, alived, ncells: int, kcap: int, eps: float,
         return fx, fy, ft, cnt
 
     ins = (xd, yd, mfd, alived) + ((pid,) if pid is not None else ())
+    args = tuple(_blocked(a, cb) for a in ins)
+    fx, fy, ft, cnts = jax.lax.map(block, args)
+    return (fx.reshape(-1, kcap)[:ncells], fy.reshape(-1, kcap)[:ncells],
+            jnp.sum(cnts, dtype=jnp.int32), ft.reshape(-1, kcap)[:ncells])
+
+
+def fused_pairs_v4(xd, yd, mfd, alived, ncells: int, kcap: int, eps: float,
+                   collide: bool = True, cb: int = CELL_BLOCK, pid=None,
+                   ichunk: int = 32, sub=None):
+    """MXU-form pair pass (same contract as fused_pairs_v2).
+
+    Rewrites the force reduction as two contractions per chunk:
+
+        fx_i = G·m_i·( Σ_j w_ij·xl_j − xl_i·Σ_j w_ij ),  w_ij = m_j/d³
+
+    with xl = x recentered by the row mean (any per-row constant cancels
+    exactly in the algebra; recentering bounds the cancellation). The
+    per-pair ``s·dx`` multiplies + tree reductions become einsums that
+    can ride the MXU (precision=HIGH — bf16_3x, ~f32-faithful).
+
+    Adoption is gated on the cancellation study (PERF.md): for a
+    near-EPSILON pair the two contraction terms are ~w·|xl| each while
+    their difference is ~w·d, so the relative force error grows like
+    |xl|/d ≈ cell_width/EPSILON ULPs — measured and documented; the
+    collision machinery is v2's exactly (d² never rides the MXU).
+    """
+    cb = _eff_cb(cb, kcap)
+    g = jnp.float32(G)
+    eps2 = jnp.float32(eps) * jnp.float32(eps)
+    INF = jnp.int32(0x7FFFFFFF)
+    base = jnp.int32(kcap + 1)
+    ichunk = min(ichunk, kcap)
+    while kcap % ichunk:
+        ichunk //= 2
+    nb_i = -(-kcap // ichunk)
+    HIGH = jax.lax.Precision.HIGH
+
+    def block(args):
+        x, y, mf, alive = args[:4]
+        rest = list(args[4:])
+        pd = rest.pop(0) if pid is not None else None
+        sb = rest.pop(0) if sub is not None else None
+        lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+        used = (mf > 0.0) | (alive > 0)
+        kb = jnp.max(jnp.where(used, lane + 1, 0))
+        trips = jnp.minimum((kb + ichunk - 1) // ichunk, nb_i)
+
+        def islice(a, i0, width=ichunk):
+            return jax.lax.dynamic_slice_in_dim(a, i0, width, axis=1)
+
+        def same_cell(i0):
+            if sb is None:
+                return None
+            return islice(sb, i0)[:, :, None] == sb[:, None, :]
+
+        # ---- collision machinery: identical to fused_pairs_v2 ----------
+        if collide:
+            def hit_body(t, anyhit):
+                i0 = t * ichunk
+                xi = islice(x, i0)
+                yi = islice(y, i0)
+                ai = islice(alive, i0)
+                dx = x[:, None, :] - xi[:, :, None]
+                dy = y[:, None, :] - yi[:, :, None]
+                d2 = dx * dx + dy * dy
+                pa = (ai[:, :, None] * alive[:, None, :]) > 0
+                ii = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1) + i0
+                jj = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 2)
+                hit = pa & (d2 < eps2) & (jj > ii)
+                sc = same_cell(i0)
+                if sc is not None:
+                    hit = hit & sc
+                return anyhit | jnp.any(hit)
+
+            any_hit = jax.lax.fori_loop(0, trips, hit_body, jnp.bool_(False))
+
+            def do_collide(_):
+                pr = (None if pd is None else _pid_ranks(pd, alive))
+
+                def cand_chunk(i0):
+                    xi = islice(x, i0)
+                    yi = islice(y, i0)
+                    ai = islice(alive, i0)
+                    dx = x[:, None, :] - xi[:, :, None]
+                    dy = y[:, None, :] - yi[:, :, None]
+                    d2 = dx * dx + dy * dy
+                    pa = (ai[:, :, None] * alive[:, None, :]) > 0
+                    ii = (jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+                          + i0)
+                    jj = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 2)
+                    hit = pa & (d2 < eps2) & (jj > ii)
+                    sc = same_cell(i0)
+                    if sc is not None:
+                        hit = hit & sc
+                    if pr is None:
+                        rank = ii * base + jj
+                    else:
+                        ri = islice(pr, i0)[:, :, None]
+                        rj = pr[:, None, :]
+                        rank = (jnp.minimum(ri, rj) * base
+                                + jnp.maximum(ri, rj))
+                    return jnp.where(hit, rank, INF), hit
+
+                def min_body(t, carry):
+                    fti, ftj = carry
+                    i0 = t * ichunk
+                    cand, _ = cand_chunk(i0)
+                    fti = jax.lax.dynamic_update_slice_in_dim(
+                        fti, jnp.min(cand, axis=2), i0, axis=1)
+                    ftj = jnp.minimum(ftj, jnp.min(cand, axis=1))
+                    return fti, ftj
+
+                ftINF = jnp.full(x.shape, INF, dtype=jnp.int32)
+                fti, ftj = jax.lax.fori_loop(0, trips, min_body,
+                                             (ftINF, ftINF))
+                ft = jnp.minimum(fti, ftj)
+
+                def cnt_body(t, cnt):
+                    i0 = t * ichunk
+                    cand, hit = cand_chunk(i0)
+                    fti_c = islice(ft, i0)
+                    fb = (hit & (fti_c[:, :, None] == cand)
+                          & (ft[:, None, :] == cand))
+                    return cnt + jnp.sum(fb, dtype=jnp.int32)
+
+                cnt = jax.lax.fori_loop(0, trips, cnt_body, jnp.int32(0))
+                return ft, cnt
+
+            def no_collide(_):
+                return jnp.full(x.shape, INF, dtype=jnp.int32), jnp.int32(0)
+
+            ft, cnt = jax.lax.cond(any_hit, do_collide, no_collide, None)
+            m_post = jnp.where(ft != INF, jnp.float32(0.0), mf)
+        else:
+            ft = jnp.full(x.shape, INF, dtype=jnp.int32)
+            cnt = jnp.int32(0)
+            m_post = mf
+
+        # ---- MXU force form --------------------------------------------
+        nrow = jnp.maximum(jnp.sum(m_post > 0, axis=1,
+                                   dtype=jnp.int32), 1).astype(jnp.float32)
+        cx0 = jnp.sum(jnp.where(m_post > 0, x, 0.0), axis=1) / nrow
+        cy0 = jnp.sum(jnp.where(m_post > 0, y, 0.0), axis=1) / nrow
+        xl = x - cx0[:, None]
+        yl = y - cy0[:, None]
+        gm = g * m_post
+
+        def force_body(t, carry):
+            fx, fy = carry
+            i0 = t * ichunk
+            xi = islice(xl, i0)
+            yi = islice(yl, i0)
+            gmi = islice(gm, i0)
+            dx = xl[:, None, :] - xi[:, :, None]
+            dy = yl[:, None, :] - yi[:, :, None]
+            d2 = dx * dx + dy * dy
+            nz = d2 > 0.0
+            sc = same_cell(i0)
+            if sc is not None:
+                nz = nz & sc
+            inv = jnp.where(nz, jax.lax.rsqrt(jnp.where(nz, d2, 1.0)), 0.0)
+            w = m_post[:, None, :] * (inv * inv * inv)     # (CB, Ic, K)
+            sx = jnp.einsum("cik,ck->ci", w, xl, precision=HIGH)
+            sy = jnp.einsum("cik,ck->ci", w, yl, precision=HIGH)
+            sw = jnp.sum(w, axis=2)
+            fx = jax.lax.dynamic_update_slice_in_dim(
+                fx, gmi * (sx - xi * sw), i0, axis=1)
+            fy = jax.lax.dynamic_update_slice_in_dim(
+                fy, gmi * (sy - yi * sw), i0, axis=1)
+            return fx, fy
+
+        fx0 = jnp.zeros_like(x)
+        fx, fy = jax.lax.fori_loop(0, trips, force_body, (fx0, fx0))
+        return fx, fy, ft, cnt
+
+    ins = ((xd, yd, mfd, alived) + ((pid,) if pid is not None else ())
+           + ((sub,) if sub is not None else ()))
     args = tuple(_blocked(a, cb) for a in ins)
     fx, fy, ft, cnts = jax.lax.map(block, args)
     return (fx.reshape(-1, kcap)[:ncells], fy.reshape(-1, kcap)[:ncells],

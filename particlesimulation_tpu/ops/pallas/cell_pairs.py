@@ -245,174 +245,196 @@ def _fused_kernel(x_ref, y_ref, mf_ref, alive_ref, pid_ref,
     fy_ref[:] = jnp.concatenate(fy_chunks, axis=1)
 
 
-def _fused_kernel_v2(x_ref, y_ref, mf_ref, alive_ref, pid_ref,
-                     fx_ref, fy_ref, ft_ref, count_ref, *,
+def _fused_kernel_v2(xt_ref, yt_ref, mft_ref, alivet_ref, pidt_ref,
+                     fxt_ref, fyt_ref, ftt_ref, count_ref,
+                     pr_s, mpost_s, *,
                      kcap, eps2, jchunk, collide):
-    """Fused pair kernel, v2: fori_loop chunk loops + occupancy trims.
+    """Fused pair kernel, v2: transposed layout + fori_loop chunk loops.
 
-    The v1 kernel unrolls its receiver-chunk loops in Python, so Mosaic
-    sums every live (CB, Ic, K) intermediate on the scoped-VMEM stack —
-    which forced 8-16-wide chunks (poor sublane utilization) and lost
-    4.3× to the XLA formulation on silicon (PERF.md "Pallas kernels on
-    silicon"). Here each chunk loop is a ``lax.fori_loop`` whose body
-    re-uses one stack frame, admitting wide (sublane-full) chunks, and
-    ports the two structural wins of dense_xla.fused_pairs_v2:
+    Two structural changes vs the round-1 ``_fused_kernel``:
 
-    * occupancy trim — the dynamic trip count runs only to the highest
-      used slot (arrivals fill lowest slots first, so this tracks real
-      occupancy, not capacity);
-    * hit gating — a cheap d²-only pass computes a per-block "any pair
-      within ε" flag, and the rank/min/count collision machinery runs
-      under a ``lax.cond`` only for blocks that actually hit.
+    * **chunk loops are ``lax.fori_loop``s** whose bodies re-use one
+      VMEM stack frame — the v1 kernel unrolls them in Python, so Mosaic
+      sums every live chunk intermediate on the scoped-VMEM stack
+      (PERF.md "Pallas kernels on silicon");
+    * **blocks are transposed**: refs are (K, CB) with *cells on the
+      lane axis*. Mosaic only lowers dynamically-indexed slices when
+      lane offsets are provably 128-aligned; receiver chunks index the
+      *sublane* axis (`pl.ds(t*jchunk, jchunk)`, 8-aligned), so any
+      chunk width works. Pair intermediates are (Ic, K, CB) — minor two
+      dims (K, CB) fill the VPU tiles at any occupancy.
 
-    Semantics and outputs are identical to ``_fused_kernel``.
+    Also ports dense_xla.fused_pairs_v2's hit gating: a cheap d²-only
+    sweep computes "any pair within ε" and the rank/min/count collision
+    machinery runs under ``@pl.when`` only for blocks that actually hit
+    (rare by construction). Chunked reads go through refs; loop carries
+    are full-block values. Semantics identical to ``_fused_kernel``.
     """
-    x = x_ref[:]
-    y = y_ref[:]
-    mf = mf_ref[:]
+    x = xt_ref[:]           # (K, CB)
+    y = yt_ref[:]
     INF = jnp.int32(0x7FFFFFFF)
     base = jnp.int32(kcap + 1)
     g = jnp.float32(G)
     nb = kcap // jchunk
-    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    trips = nb
 
-    def islice(a, i0):
-        return jax.lax.dynamic_slice_in_dim(a, i0, jchunk, axis=1)
+    def chunk3(ref, i0):
+        return ref[pl.ds(i0, jchunk), :]
 
     if collide:
-        alive = alive_ref[:]
-        used = (mf > 0.0) | (alive > 0)
-        kb = jnp.max(jnp.where(used, lane + 1, 0))
-        trips = jnp.minimum((kb + jchunk - 1) // jchunk, nb)
+        alive = alivet_ref[:]
 
         def hit_body(t, anyhit):
             i0 = t * jchunk
-            xi = islice(x, i0)
-            yi = islice(y, i0)
-            ai = islice(alive, i0)
-            dx = x[:, None, :] - xi[:, :, None]      # (CB, Ic, K)
-            dy = y[:, None, :] - yi[:, :, None]
+            xi = chunk3(xt_ref, i0)          # (Ic, CB)
+            yi = chunk3(yt_ref, i0)
+            ai = chunk3(alivet_ref, i0)
+            dx = x[None, :, :] - xi[:, None, :]   # (Ic, K, CB)
+            dy = y[None, :, :] - yi[:, None, :]
             d2 = dx * dx + dy * dy
-            pa = (ai[:, :, None] * alive[:, None, :]) > 0
-            ii = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1) + i0
-            jj = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 2)
+            pa = (ai[:, None, :] * alive[None, :, :]) > 0
+            ii = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 0) + i0
+            jj = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
             return anyhit | jnp.any(pa & (d2 < eps2) & (jj > ii))
 
         any_hit = jax.lax.fori_loop(0, trips, hit_body, jnp.bool_(False))
 
-        def do_collide(_):
-            def pr_body(t, pr):
-                i0 = t * jchunk
-                pi = islice(pid_ref[:], i0)
-                less = ((alive[:, None, :] > 0)
-                        & (pid_ref[:][:, None, :] < pi[:, :, None]))
-                return jax.lax.dynamic_update_slice_in_dim(
-                    pr, jnp.sum(less, axis=2, dtype=jnp.int32), i0, axis=1)
+        ftt_ref[:] = jnp.full(x.shape, INF, dtype=jnp.int32)
+        count_ref[:] = jnp.zeros((1, x.shape[1]), dtype=jnp.int32)
 
-            pr0 = jnp.zeros(x.shape, dtype=jnp.int32)
-            pr = jax.lax.fori_loop(0, trips, pr_body, pr0)
+        @pl.when(any_hit)
+        def _():
+            pid_full = pidt_ref[:]
+
+            def pr_body(t, _):
+                i0 = t * jchunk
+                pi = chunk3(pidt_ref, i0)
+                less = ((alive[None, :, :] > 0)
+                        & (pid_full[None, :, :] < pi[:, None, :]))
+                pr_s[pl.ds(i0, jchunk), :] = jnp.sum(less, axis=1,
+                                                     dtype=jnp.int32)
+                return 0
+
+            jax.lax.fori_loop(0, trips, pr_body, 0)
+            pr = pr_s[:]
 
             def cand_chunk(i0):
-                xi = islice(x, i0)
-                yi = islice(y, i0)
-                ai = islice(alive, i0)
-                dx = x[:, None, :] - xi[:, :, None]
-                dy = y[:, None, :] - yi[:, :, None]
+                xi = chunk3(xt_ref, i0)
+                yi = chunk3(yt_ref, i0)
+                ai = chunk3(alivet_ref, i0)
+                dx = x[None, :, :] - xi[:, None, :]
+                dy = y[None, :, :] - yi[:, None, :]
                 d2 = dx * dx + dy * dy
-                pa = (ai[:, :, None] * alive[:, None, :]) > 0
-                ii = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1) + i0
-                jj = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 2)
+                pa = (ai[:, None, :] * alive[None, :, :]) > 0
+                ii = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 0) + i0
+                jj = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
                 hit = pa & (d2 < eps2) & (jj > ii)
-                ri = islice(pr, i0)[:, :, None]
-                rj = pr[:, None, :]
+                ri = chunk3(pr_s, i0)[:, None, :]
+                rj = pr[None, :, :]
                 rank = jnp.minimum(ri, rj) * base + jnp.maximum(ri, rj)
                 return jnp.where(hit, rank, INF), hit
 
-            def min_body(t, carry):
-                fti, ftj = carry
+            def min_body(t, ftj):
                 i0 = t * jchunk
                 cand, _ = cand_chunk(i0)
-                fti = jax.lax.dynamic_update_slice_in_dim(
-                    fti, jnp.min(cand, axis=2), i0, axis=1)
-                ftj = jnp.minimum(ftj, jnp.min(cand, axis=1))
-                return fti, ftj
+                ftt_ref[pl.ds(i0, jchunk), :] = jnp.min(cand, axis=1)
+                return jnp.minimum(ftj, jnp.min(cand, axis=0))
 
-            ftINF = jnp.full(x.shape, INF, dtype=jnp.int32)
-            fti, ftj = jax.lax.fori_loop(0, trips, min_body, (ftINF, ftINF))
-            ft = jnp.minimum(fti, ftj)
+            ftj0 = jnp.full(x.shape, INF, dtype=jnp.int32)
+            ftj = jax.lax.fori_loop(0, trips, min_body, ftj0)
+            ftt_ref[:] = jnp.minimum(ftt_ref[:], ftj)
+            ft = ftt_ref[:]
 
             def cnt_body(t, cnt):
                 i0 = t * jchunk
                 cand, hit = cand_chunk(i0)
-                fti_c = islice(ft, i0)
-                fb = (hit & (fti_c[:, :, None] == cand)
-                      & (ft[:, None, :] == cand))
-                return cnt + jnp.sum(
-                    jnp.sum(fb, axis=2, dtype=jnp.int32), axis=1,
-                    keepdims=True, dtype=jnp.int32)
+                fti_c = chunk3(ftt_ref, i0)
+                fb = (hit & (fti_c[:, None, :] == cand)
+                      & (ft[None, :, :] == cand))
+                return cnt + jnp.sum(fb, axis=(0, 1), dtype=jnp.int32,
+                                     keepdims=False)[None, :]
 
-            cnt0 = jnp.zeros((x.shape[0], 1), dtype=jnp.int32)
-            cnt = jax.lax.fori_loop(0, trips, cnt_body, cnt0)
-            return ft, cnt
+            cnt0 = jnp.zeros((1, x.shape[1]), dtype=jnp.int32)
+            count_ref[:] = jax.lax.fori_loop(0, trips, cnt_body, cnt0)
 
-        def no_collide(_):
-            return (jnp.full(x.shape, INF, dtype=jnp.int32),
-                    jnp.zeros((x.shape[0], 1), dtype=jnp.int32))
-
-        ft, count = jax.lax.cond(any_hit, do_collide, no_collide, None)
-        m_post = jnp.where(ft != INF, jnp.float32(0.0), mf)
+        mpost_s[:] = jnp.where(ftt_ref[:] != INF, jnp.float32(0.0),
+                               mft_ref[:])
     else:
-        used = mf > 0.0
-        kb = jnp.max(jnp.where(used, lane + 1, 0))
-        trips = jnp.minimum((kb + jchunk - 1) // jchunk, nb)
-        ft = jnp.full(x.shape, INF, dtype=jnp.int32)
-        count = jnp.zeros((x.shape[0], 1), dtype=jnp.int32)
-        m_post = mf
-    ft_ref[:] = ft
-    count_ref[:] = count
+        ftt_ref[:] = jnp.full(x.shape, INF, dtype=jnp.int32)
+        count_ref[:] = jnp.zeros((1, x.shape[1]), dtype=jnp.int32)
+        mpost_s[:] = mft_ref[:]
 
-    gm = g * m_post
-    fx_ref[:] = jnp.zeros_like(x)
-    fy_ref[:] = jnp.zeros_like(x)
+    m_post = mpost_s[:]
 
     def force_body(t, _):
         i0 = t * jchunk
-        xi = islice(x, i0)
-        yi = islice(y, i0)
-        gmi = islice(gm, i0)
-        dx = x[:, None, :] - xi[:, :, None]
-        dy = y[:, None, :] - yi[:, :, None]
+        xi = chunk3(xt_ref, i0)
+        yi = chunk3(yt_ref, i0)
+        gmi = g * chunk3(mpost_s, i0)
+        dx = x[None, :, :] - xi[:, None, :]
+        dy = y[None, :, :] - yi[:, None, :]
         d2 = dx * dx + dy * dy
         nz = d2 > 0.0
         inv = jnp.where(nz, jax.lax.rsqrt(jnp.where(nz, d2, 1.0)), 0.0)
-        s = gmi[:, :, None] * m_post[:, None, :] * (inv * inv * inv)
-        fx_ref[:, pl.ds(i0, jchunk)] = jnp.sum(s * dx, axis=2)
-        fy_ref[:, pl.ds(i0, jchunk)] = jnp.sum(s * dy, axis=2)
+        s = gmi[:, None, :] * m_post[None, :, :] * (inv * inv * inv)
+        fxt_ref[pl.ds(i0, jchunk), :] = jnp.sum(s * dx, axis=1)
+        fyt_ref[pl.ds(i0, jchunk), :] = jnp.sum(s * dy, axis=1)
         return 0
 
     jax.lax.fori_loop(0, trips, force_body, 0)
 
 
 def _pick_tiling_v2(kcap: int) -> tuple[int, int]:
-    """(cells per program, receiver chunk) for the fori_loop kernel.
+    """(cells per program, receiver chunk) for the transposed kernel.
 
-    The fori_loop bodies re-use one VMEM stack frame, so chunks can be
-    sublane-wide. Live set per iteration ≈ a dozen (CB, Ic, K) tensors;
-    CB=8, Ic=64 at K=160 is ~8 MB total — inside the 16 MB scoped limit
-    without compiler flags. Both knobs env-tunable for A/B sweeps.
+    Cells ride the lane axis: CB=128 fills the lanes; receiver chunks
+    ride sublanes, so Ic is free of alignment constraints beyond 8.
+    Live set per fori iteration ≈ half a dozen (Ic, K, CB) tensors;
+    Ic=16 at K=160, CB=128 is ~8 MB. Env-tunable for A/B sweeps.
     """
     import os
-    cb = int(os.environ.get("PSIM_PALLAS_V2_CB", "8"))
-    ic = int(os.environ.get("PSIM_PALLAS_V2_IC", "64"))
+    cb = int(os.environ.get("PSIM_PALLAS_V2_CB", "128"))
+    ic = int(os.environ.get("PSIM_PALLAS_V2_IC", "16"))
     ic = min(ic, kcap)
     while kcap % ic:          # chunk must divide K (no clamped overlap)
         ic //= 2
     return cb, max(ic, 1)
 
 
+def _fused_kernel_v2_kt(x_ref, y_ref, mf_ref, alive_ref, pid_ref,
+                        fx_ref, fy_ref, ft_ref, count_ref,
+                        xt_s, yt_s, mft_s, alivet_s, pidt_s,
+                        fxt_s, fyt_s, ftt_s, cnt_s, pr_s, mpost_s, *,
+                        kcap, eps2, jchunk, collide):
+    """_fused_kernel_v2 with in-kernel transposes: blocks arrive in the
+    engine's (CB, K) layout, get transposed once into (K, CB) scratch
+    (VMEM lane<->sublane shuffles), and the transposed kernel body runs
+    unchanged — no XLA-side layout copies (PSIM_PALLAS_V2_KT=1)."""
+    xt_s[:] = x_ref[:].T
+    yt_s[:] = y_ref[:].T
+    mft_s[:] = mf_ref[:].T
+    alivet_s[:] = alive_ref[:].T
+    pidt_s[:] = pid_ref[:].T
+    _fused_kernel_v2(xt_s, yt_s, mft_s, alivet_s, pidt_s,
+                     fxt_s, fyt_s, ftt_s, cnt_s, pr_s, mpost_s,
+                     kcap=kcap, eps2=eps2, jchunk=jchunk, collide=collide)
+    fx_ref[:] = fxt_s[:].T
+    fy_ref[:] = fyt_s[:].T
+    ft_ref[:] = ftt_s[:].T
+    count_ref[:] = cnt_s[:]
+
+
 def fused_pairs_v2(xd, yd, mfd, alived, ncells: int, kcap: int, eps: float,
                    collide: bool = True, pid=None):
-    """Pallas twin of ops/dense_xla.fused_pairs_v2 (fori_loop + trims)."""
+    """Pallas twin of ops/dense_xla.fused_pairs_v2 (same contract).
+
+    Transposes tiles to (K, ncells) layout (cells on lanes — see
+    _fused_kernel_v2) either at the XLA level (default: reindex copies
+    outside the kernel) or inside the kernel per block
+    (PSIM_PALLAS_V2_KT=1: VMEM shuffles, no HBM layout copies).
+    """
+    import os
+
     cb, jchunk = _pick_tiling_v2(kcap)
     nblocks = pl.cdiv(ncells, cb)
     pad_cells = nblocks * cb - ncells
@@ -420,28 +442,71 @@ def fused_pairs_v2(xd, yd, mfd, alived, ncells: int, kcap: int, eps: float,
         pid = _slot_iota_pid(ncells, kcap)
     xd, yd, mfd, alived, pid = _padded([xd, yd, mfd, alived, pid],
                                        pad_cells, kcap)
-    spec = pl.BlockSpec((cb, kcap), lambda i: (i, 0),
-                        memory_space=pltpu.VMEM)
-    cspec = pl.BlockSpec((cb, 1), lambda i: (i, 0),
+    tspec = pl.BlockSpec((kcap, cb), lambda i: (0, i),
                          memory_space=pltpu.VMEM)
-    fx, fy, ft, counts = pl.pallas_call(
+    kernel_transpose = os.environ.get("PSIM_PALLAS_V2_KT") == "1"
+    if kernel_transpose:
+        nspec = pl.BlockSpec((cb, kcap), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+        cspec = pl.BlockSpec((1, cb), lambda i: (0, i),
+                             memory_space=pltpu.VMEM)
+        fx, fy, ft, counts = pl.pallas_call(
+            functools.partial(_fused_kernel_v2_kt, kcap=kcap,
+                              eps2=float(eps) * float(eps), jchunk=jchunk,
+                              collide=collide),
+            grid=(nblocks,),
+            in_specs=[nspec] * 5,
+            out_specs=(nspec, nspec, nspec, cspec),
+            out_shape=(
+                jax.ShapeDtypeStruct(xd.shape, xd.dtype),
+                jax.ShapeDtypeStruct(xd.shape, xd.dtype),
+                jax.ShapeDtypeStruct(xd.shape, jnp.int32),
+                jax.ShapeDtypeStruct((1, xd.shape[0]), jnp.int32),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((kcap, cb), jnp.float32),   # xT
+                pltpu.VMEM((kcap, cb), jnp.float32),   # yT
+                pltpu.VMEM((kcap, cb), jnp.float32),   # mfT
+                pltpu.VMEM((kcap, cb), jnp.int32),     # aliveT
+                pltpu.VMEM((kcap, cb), jnp.int32),     # pidT
+                pltpu.VMEM((kcap, cb), jnp.float32),   # fxT
+                pltpu.VMEM((kcap, cb), jnp.float32),   # fyT
+                pltpu.VMEM((kcap, cb), jnp.int32),     # ftT
+                pltpu.VMEM((1, cb), jnp.int32),        # count
+                pltpu.VMEM((kcap, cb), jnp.int32),     # pid ranks
+                pltpu.VMEM((kcap, cb), jnp.float32),   # post-death masses
+            ],
+            interpret=_interpret(),
+        )(xd, yd, mfd, alived, pid)
+        if pad_cells:
+            fx, fy, ft = fx[:ncells], fy[:ncells], ft[:ncells]
+        return fx, fy, jnp.sum(counts, dtype=jnp.int32), ft
+
+    xt, yt, mft, alivet, pidt = (a.T for a in (xd, yd, mfd, alived, pid))
+    cspec = pl.BlockSpec((1, cb), lambda i: (0, i),
+                         memory_space=pltpu.VMEM)
+    fxt, fyt, ftt, counts = pl.pallas_call(
         functools.partial(_fused_kernel_v2, kcap=kcap,
                           eps2=float(eps) * float(eps), jchunk=jchunk,
                           collide=collide),
         grid=(nblocks,),
-        in_specs=[spec, spec, spec, spec, spec],
-        out_specs=(spec, spec, spec, cspec),
+        in_specs=[tspec, tspec, tspec, tspec, tspec],
+        out_specs=(tspec, tspec, tspec, cspec),
         out_shape=(
-            jax.ShapeDtypeStruct(xd.shape, xd.dtype),
-            jax.ShapeDtypeStruct(xd.shape, xd.dtype),
-            jax.ShapeDtypeStruct(xd.shape, jnp.int32),
-            jax.ShapeDtypeStruct((xd.shape[0], 1), jnp.int32),
+            jax.ShapeDtypeStruct(xt.shape, xt.dtype),
+            jax.ShapeDtypeStruct(xt.shape, xt.dtype),
+            jax.ShapeDtypeStruct(xt.shape, jnp.int32),
+            jax.ShapeDtypeStruct((1, xt.shape[1]), jnp.int32),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((kcap, cb), jnp.int32),     # pid ranks
+            pltpu.VMEM((kcap, cb), jnp.float32),   # post-death masses
+        ],
         interpret=_interpret(),
-    )(xd, yd, mfd, alived, pid)
+    )(xt, yt, mft, alivet, pidt)
+    fx, fy, ft = fxt.T, fyt.T, ftt.T
     if pad_cells:
-        fx, fy, ft, counts = (fx[:ncells], fy[:ncells], ft[:ncells],
-                              counts[:ncells])
+        fx, fy, ft = fx[:ncells], fy[:ncells], ft[:ncells]
     return fx, fy, jnp.sum(counts, dtype=jnp.int32), ft
 
 

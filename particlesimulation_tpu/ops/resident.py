@@ -209,49 +209,75 @@ def rebin(ts: TileState, side: float, ncside: int, kcap: int,
                                      jnp.asarray(0.0, st.m.dtype)))
         return st, n_moving - n_del
 
+    # Deliveries per (row, direction) per round. Swept on the v5e at the
+    # N=1e6 bench (PERF.md round 3): R=1 7.27 ms/step (argmax form 6.35),
+    # R=2 5.87 (fewer rounds beat the extra rank terms), R=3 pathological
+    # (XLA lowering collapses, 1.8 s/step), round-2's R=8 also lost.
+    R = int(os.environ.get("PSIM_REBIN_R", "2"))
+
     def one_round(st: TileState):
-        """One delivery round: per (row, direction), the first pending
-        arrival lands in the row's first free slot.
+        """One delivery round: per (row, direction), the first R pending
+        arrivals land in the row's free slots (rank-matched).
 
         Two phases keep HBM traffic low: (1) a mask-only sweep over the 8
         directions (bool tiles, sequential free-slot accounting); (2) one
-        data pass per field — per-direction winner values reduce to
-        (ncells, 1) columns at the source, roll as columns, and a single
-        masked select writes each field tile once (instead of 8 rewrites).
+        data pass per field — per-(direction, rank) winner values reduce
+        to (ncells, 1) columns at the source, roll as columns, and a
+        single masked select writes each field tile once.
         """
         moving, sx, sy = mover_info(st)
 
-        # Phase 1 — masks. Direction d's arrival takes the row's d-th free
-        # slot (one cumsum ranks all free slots; no sequential occupancy
-        # accounting between directions).
+        # Phase 1 — masks. Direction d's rank-r arrival takes the row's
+        # (d*R + r + 1)-th free slot (one cumsum ranks all free slots; no
+        # sequential occupancy accounting between directions).
         occ = st.occ
         fr = jnp.cumsum((~occ).astype(jnp.int32), axis=1)  # 1-based free rank
         n_free = fr[:, -1:]
         wins_src = []   # winner one-hots at source coordinates
         tgts = []       # landing one-hots at destination coordinates
+        rolls = []      # (dx, dy) per term, for phase 2's column rolls
         departed = jnp.zeros(st.occ.shape, dtype=bool)
         tgt_any = jnp.zeros(st.occ.shape, dtype=bool)
         for d, (dx, dy) in enumerate(STENCIL):
             going = moving & (sx == dx) & (sy == dy)
             arr = _roll_grid(going, dx, dy, ncside, nrows)
-            has = jnp.any(arr, axis=1, keepdims=True)
-            ok = has & (d < n_free)
-            # First pending arrival (source-slot order) in each row...
-            win = arr & (lane == jnp.argmax(arr, axis=1)[:, None]) & ok
-            # ...lands in the row's (d+1)-th free slot.
-            tgt = (~occ) & (fr == d + 1) & ok
-            src_win = _roll_grid(win, -dx, -dy, ncside, nrows) & going
-            wins_src.append(src_win)
-            tgts.append(tgt)
-            departed = departed | src_win
-            tgt_any = tgt_any | tgt
+            if R == 1:
+                # argmax formulation (committed round-1/2 path): one
+                # reduction instead of a cumsum — measured ~0.9 ms/step
+                # cheaper than the rank form at the N=1e6 bench.
+                has = jnp.any(arr, axis=1, keepdims=True)
+                ok = has & (d < n_free)
+                win = arr & (lane == jnp.argmax(arr, axis=1)[:, None]) & ok
+                tgt = (~occ) & (fr == d + 1) & ok
+                src_win = _roll_grid(win, -dx, -dy, ncside, nrows) & going
+                wins_src.append(src_win)
+                tgts.append(tgt)
+                rolls.append((dx, dy))
+                departed = departed | src_win
+                tgt_any = tgt_any | tgt
+                continue
+            arank = jnp.cumsum(arr.astype(jnp.int32), axis=1)  # 1-based
+            cnt = arank[:, -1:]
+            for r in range(R):
+                slot_rank = d * R + r + 1
+                ok = (cnt > r) & (slot_rank <= n_free)
+                # The (r+1)-th pending arrival (source-slot order)...
+                win = arr & (arank == r + 1) & ok
+                # ...lands in the row's (d*R + r + 1)-th free slot.
+                tgt = (~occ) & (fr == slot_rank) & ok
+                src_win = _roll_grid(win, -dx, -dy, ncside, nrows) & going
+                wins_src.append(src_win)
+                tgts.append(tgt)
+                rolls.append((dx, dy))
+                departed = departed | src_win
+                tgt_any = tgt_any | tgt
         occ = occ | tgt_any
 
         # Phase 2 — data: one write per field.
         def place(field, is_int=False):
             z = jnp.zeros((), field.dtype)
             ins = None
-            for (dx, dy), src_win, tgt in zip(STENCIL, wins_src, tgts):
+            for (dx, dy), src_win, tgt in zip(rolls, wins_src, tgts):
                 if is_int:
                     w = jnp.sum(jnp.where(src_win, field, 0), axis=1,
                                 keepdims=True, dtype=field.dtype)

@@ -161,3 +161,37 @@ def test_fused_pairs_v2_equals_v1():
                     np.testing.assert_array_equal(
                         np.asarray(a), np.asarray(b),
                         err_msg="v3 " + name + " " + msg)
+
+
+def test_fused_pairs_v4_matches_v2_semantics():
+    """MXU-form force pass: identical collision outputs (the machinery is
+    v2's code), forces equal to v2 within the cancellation envelope
+    (PERF.md study; adoption gated on the measured error)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from particlesimulation_tpu.config import EPSILON
+    from particlesimulation_tpu.ops import dense_xla
+
+    rng = np.random.default_rng(7)
+    ncells, kcap = 16, 32
+    x = rng.uniform(0, 50.0, (ncells, kcap)).astype(np.float32)
+    y = rng.uniform(0, 50.0, (ncells, kcap)).astype(np.float32)
+    m = rng.uniform(0.5, 2.0, (ncells, kcap)).astype(np.float32)
+    m[:, 24:] = 0.0
+    # plant a near-EPSILON pair (worst cancellation case)
+    x[3, 1] = x[3, 0] + EPSILON * 1.5
+    y[3, 1] = y[3, 0]
+    alive = (m > 0).astype(np.int32)
+    args = (jnp.asarray(x), jnp.asarray(y), jnp.asarray(m),
+            jnp.asarray(alive), ncells, kcap, EPSILON)
+    r2 = dense_xla.fused_pairs_v2(*args)
+    r4 = dense_xla.fused_pairs_v4(*args)
+    np.testing.assert_array_equal(np.asarray(r4[3]), np.asarray(r2[3]))
+    assert int(r4[2]) == int(r2[2])
+    f2 = np.asarray(r2[0])
+    f4 = np.asarray(r4[0])
+    scale = np.abs(f2).max()
+    # Cancellation amplification ~ |xl|/d ULPs; on this config the
+    # near-pair error stays under 1e-3 of the max force (documented).
+    assert np.abs(f4 - f2).max() <= 1e-3 * scale

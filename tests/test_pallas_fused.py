@@ -52,17 +52,22 @@ def test_fused_pallas_collide_false_prologue():
     np.testing.assert_allclose(np.asarray(fx), np.asarray(fxr), rtol=2e-5)
 
 
-def test_fused_pallas_v2_matches_xla_v2_bitexact():
-    """The fori_loop v2 kernel must be bit-identical to dense_xla's v2
-    (same per-slot full-K reduction order regardless of chunking)."""
+def test_fused_pallas_v2_matches_xla_v2():
+    """The transposed v2 kernel vs dense_xla's v2: the discrete outputs
+    (collision ranks, count) are bit-identical; forces agree to f32
+    rounding (the transposed layout reduces the partner axis from a
+    different position, so the f32 summation tree differs)."""
     ncells, kcap = 12, 32
     xd, yd, mfd, ad = _tiles(ncells, kcap)
     ref = dense_xla.fused_pairs_v2(xd, yd, mfd, ad, ncells, kcap, EPSILON)
     got = cell_pairs.fused_pairs_v2(xd, yd, mfd, ad, ncells, kcap, EPSILON)
     np.testing.assert_array_equal(np.asarray(got[3]), np.asarray(ref[3]))
     assert int(got[2]) == int(ref[2])
-    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(ref[0]))
-    np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(ref[1]))
+    scale = float(np.abs(np.asarray(ref[0])).max()) + 1e-30
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]),
+                               rtol=1e-5, atol=scale * 1e-6)
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]),
+                               rtol=1e-5, atol=scale * 1e-6)
 
 
 def test_fused_pallas_v2_pid_tiebreak():
@@ -78,7 +83,9 @@ def test_fused_pallas_v2_pid_tiebreak():
                                     pid=pid)
     np.testing.assert_array_equal(np.asarray(got[3]), np.asarray(ref[3]))
     assert int(got[2]) == int(ref[2])
-    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(ref[0]))
+    scale = float(np.abs(np.asarray(ref[0])).max()) + 1e-30
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]),
+                               rtol=1e-5, atol=scale * 1e-6)
 
 
 def test_fused_pallas_v2_collide_false():
@@ -90,4 +97,6 @@ def test_fused_pallas_v2_collide_false():
     assert (np.asarray(ft) == 0x7FFFFFFF).all()
     fxr, fyr, _, _ = dense_xla.fused_pairs_v2(xd, yd, mfd, ad, ncells, kcap,
                                               EPSILON, collide=False)
-    np.testing.assert_array_equal(np.asarray(fx), np.asarray(fxr))
+    scale = float(np.abs(np.asarray(fxr)).max()) + 1e-30
+    np.testing.assert_allclose(np.asarray(fx), np.asarray(fxr),
+                               rtol=1e-5, atol=scale * 1e-6)
