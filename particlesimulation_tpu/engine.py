@@ -496,6 +496,8 @@ class Engine:
                  impl: str | None = None):
         self.config = config
         self.dense_backend = dense_backend or _dense_backend_default()
+        self._impl_auto = False
+        self._tier_plan = None  # (k_small, k_big, fatcap) for impl="tiered"
         if config.precision is Precision.PARITY:
             if not jax.config.jax_enable_x64:
                 raise RuntimeError(
@@ -509,6 +511,7 @@ class Engine:
                 impl = os.environ.get("PSIM_IMPL")
             if impl is None and use_dense is not None:
                 impl = "dense" if use_dense else "sweep"
+            self._impl_auto = impl is None
             if impl is None:
                 # Sparse-grid regime (grid ≫ particles, the reference's
                 # SMALL workload): per-cell tiles pay ncells·K padded
@@ -526,9 +529,11 @@ class Engine:
                     s = choose_supercell_factor(config)
                     impl = "supercell" if (_use_dense_default()
                                            and s is not None) else "sweep"
-            if impl not in ("resident", "dense", "sweep", "supercell"):
-                raise ValueError(f"unknown impl {impl!r}; "
-                                 "valid: resident, dense, sweep, supercell")
+            if impl not in ("resident", "dense", "sweep", "supercell",
+                            "tiered"):
+                raise ValueError(
+                    f"unknown impl {impl!r}; "
+                    "valid: resident, dense, sweep, supercell, tiered")
             self.impl = impl
         if kcap is None and os.environ.get("PSIM_KCAP"):
             # Tuning override: pair cost scales with kcap x kb and every
@@ -542,7 +547,7 @@ class Engine:
 
     @property
     def use_dense(self) -> bool:
-        return self.impl in ("dense", "resident", "supercell")
+        return self.impl in ("dense", "resident", "supercell", "tiered")
 
     def _supercell_factor(self) -> int:
         if getattr(self, "_sc_factor", None) is None:
@@ -600,7 +605,23 @@ class Engine:
             return dense_xla.MAX_XLA_KCAP
         return cell_pairs.MAX_DENSE_KCAP
 
+    def _default_tier_plan(self):
+        # No census available (state not from init_state): Poisson k_small
+        # plus generous fat headroom; the lossless retry ladder refines.
+        ks = self._heuristic_kcap()
+        kb = min(max(4 * ks, 256), self._max_kcap())
+        fatcap = self._round_cap(max(self.config.ncells // 16, 32))
+        return ks, kb, fatcap
+
     def _build(self):
+        if self.impl == "tiered":
+            if self._tier_plan is None:
+                self._tier_plan = self._default_tier_plan()
+            self.kcap = self._tier_plan[1]  # telemetry/reporting: k_big
+            if self._tier_plan[1] > self._max_kcap():
+                self.impl = "dense"
+                self._tier_plan = None
+                self.kcap = None
         if self.use_dense:
             if self.kcap is None:
                 self.kcap = self._heuristic_kcap()
@@ -611,10 +632,18 @@ class Engine:
                 self.kcap = max(self.kcap, self._round_cap(need))
             if self.kcap > self._max_kcap():
                 self.impl = "sweep"
-        key = (self.impl, self.kcap if self.use_dense else None)
+        key = (self.impl, self.kcap if self.use_dense else None,
+               self._tier_plan if self.impl == "tiered" else None)
         if self._built_key == key and self._run is not None:
             return
-        if self.impl == "resident":
+        if self.impl == "tiered":
+            from particlesimulation_tpu.ops.tiered import make_tiered_step
+            ks, kb, fatcap = self._tier_plan
+            step, build_tiles, run = make_tiered_step(
+                self.config, ks, kb, fatcap, self.dense_backend)
+            self._step = lambda st: step(st, build_tiles(st))[0]
+            self._run = jax.jit(run)
+        elif self.impl == "resident":
             step, prologue, run = make_resident_run(
                 self.config, self.kcap, self.dense_backend)
             self._run = jax.jit(run)
@@ -656,8 +685,19 @@ class Engine:
                 occ = np.bincount((cy // s) * nsc + (cx // s),
                                   minlength=nsc * nsc).max()
             else:
-                occ = np.bincount(cy * cfg.ncside + cx,
-                                  minlength=cfg.ncells).max()
+                hist = np.bincount(cy * cfg.ncside + cx,
+                                   minlength=cfg.ncells)
+                occ = hist.max()
+                from particlesimulation_tpu.ops.tiered import plan_tiers
+                plan = plan_tiers(hist, cfg.ncells, self._max_kcap())
+                if self.impl == "tiered" or (
+                        self._impl_auto and plan is not None
+                        and plan[1] >= 2 * plan[0]):
+                    # Clustered occupancy (a hot cell ≫ the distribution's
+                    # bulk): two-tier tiles stop the hot cell from taxing
+                    # every cell's pair pass (ops/tiered.py).
+                    self.impl = "tiered"
+                    self._tier_plan = plan or self._default_tier_plan()
             # Snug slack (see _heuristic_kcap): pair-pass cost scales with
             # kcap x kb, and overflow retries are lossless.
             self.kcap = min(self._round_cap(occ * 1.1 + 4),
@@ -705,6 +745,25 @@ class Engine:
             need = int(np.asarray(out.overflow))
             if need == 0:
                 return out
+            if self.impl == "tiered":
+                # Negative need = fat-list overflow (grow fatcap), positive
+                # = a cell outgrew k_big (ops/tiered.py telemetry).
+                ks, kb, fatcap = self._tier_plan
+                if need < 0:
+                    fatcap = max(self._round_cap(-need * 1.5 + 2),
+                                 self._round_cap(fatcap * 1.5))
+                else:
+                    kb = max(self._round_cap(need * 1.25 + 1),
+                             self._round_cap(kb * 1.5))
+                self._tier_plan = (ks, kb, fatcap)
+                if _attempt >= 2 or kb > self._max_kcap():
+                    # Re-planning isn't converging — the occupancy
+                    # distribution drifted past the census; single-tier
+                    # dense re-censuses from scratch.
+                    self.impl = "dense"
+                    self._tier_plan = None
+                    self.kcap = None
+                continue
             # Occupancy outgrew the tiles: retry from the input state with
             # tiles sized to the observed occupancy (the reference
             # PANIC-skips particles in its analogous situation; here the run

@@ -21,7 +21,7 @@ from particlesimulation_tpu.engine import Engine
 
 from tests.test_golden import FAST_VECTORS
 
-IMPLS = ["sweep", "resident", "dense"]
+IMPLS = ["sweep", "resident", "dense", "tiered"]
 
 
 @pytest.mark.parametrize("impl", IMPLS)

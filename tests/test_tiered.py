@@ -1,0 +1,121 @@
+"""Two-tier dense tiles (ops/tiered.py): equivalence, planning, retries.
+
+The tiered impl exists for clustered loads (the reference's normal-mode
+``-seed`` inits, serial/parsim.cpp:220-232): a hot cell at ~10x the mean
+occupancy must not tax every cell's pair pass. Semantics must equal the
+single-tier dense impl — same cells, same in-cell slot order ((key, pid)
+sort), same collision set rule — with only f32 summation-tree differences
+in the forces.
+"""
+
+import numpy as np
+import pytest
+
+from particlesimulation_tpu.config import Precision, SimConfig
+from particlesimulation_tpu.engine import Engine
+from particlesimulation_tpu.ops.tiered import plan_tiers
+
+CLUSTERED = dict(seed=-7, side=24.0, ncside=12, n_particles=2000,
+                 precision=Precision.FAST)
+
+
+def _run(impl, steps=12, plan=None, **cfg_over):
+    cfg = SimConfig(**{**CLUSTERED, **cfg_over})
+    eng = Engine(cfg, impl=impl, dense_backend="xla")
+    if plan is not None:
+        eng._tier_plan = plan
+    out = eng.run(eng.init_state(), steps)
+    return eng, out
+
+
+def test_tiered_matches_dense_clustered():
+    """Clustered normal-mode init: tiered vs single-tier dense must agree
+    on the collision set and trajectories (f32 association differs only in
+    reduction-tree shape — tight allclose, identical dead sets)."""
+    _, a = _run("dense")
+    engb, b = _run("tiered")
+    assert engb.impl == "tiered"  # did not silently escalate away
+    assert int(a.collisions) == int(b.collisions)
+    np.testing.assert_array_equal(np.asarray(a.pid), np.asarray(b.pid))
+    np.testing.assert_array_equal(np.asarray(a.alive), np.asarray(b.alive))
+    for f in ("x", "y", "vx", "vy", "m"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(a, f)), np.asarray(getattr(b, f)),
+            rtol=2e-5, atol=2e-5, err_msg=f)
+    assert int(b.overflow) == 0
+
+
+def test_tiered_fat_tier_actually_used():
+    """The clustered config must exercise both tiers (otherwise this suite
+    proves nothing about the fat path)."""
+    from particlesimulation_tpu.ops.tiered import make_tiered_step
+
+    cfg = SimConfig(**CLUSTERED)
+    eng = Engine(cfg, impl="tiered", dense_backend="xla")
+    state = eng.init_state()
+    ks, kb, fatcap = eng._tier_plan
+    _, build_tiles, _ = make_tiered_step(cfg, ks, kb, fatcap, "xla")
+    import jax
+    tiles = jax.jit(build_tiles)(state)
+    assert int(tiles["n_fat"]) >= 1
+    assert int(np.asarray(tiles["okf"]).sum()) > ks  # a genuinely fat cell
+    assert int(np.asarray(tiles["oks"]).sum()) > 0
+
+
+def test_tiered_overflow_retry_lossless():
+    """An undersized plan (k_big below the real max occupancy, fatcap of 1
+    row) must heal through the lossless retry ladder and still match the
+    right-sized run exactly — the reference PANIC-drops in this situation,
+    this engine may not (engine.py:run)."""
+    _, ref = _run("tiered")
+    eng, out = _run("tiered", plan=(32, 32, 32))
+    assert int(ref.collisions) == int(out.collisions)
+    np.testing.assert_array_equal(np.asarray(ref.alive), np.asarray(out.alive))
+    for f in ("x", "y"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(ref, f)), np.asarray(getattr(out, f)),
+            rtol=2e-5, atol=2e-5, err_msg=f)
+
+
+def test_plan_tiers_uniform_declines():
+    """Near-uniform occupancy: two tiers cannot save 40% of the lanes, so
+    the planner returns None (single-tier stays)."""
+    rng = np.random.default_rng(0)
+    hist = rng.poisson(100, size=400)
+    assert plan_tiers(hist, 400, 4096) is None
+
+
+def test_plan_tiers_clustered_plans():
+    """One 10x hot cell among a uniform bulk: the planner must produce a
+    small k_small and a fat tier covering the hot cell."""
+    rng = np.random.default_rng(0)
+    hist = rng.poisson(100, size=10_000)
+    hist[123] = 960
+    plan = plan_tiers(hist, 10_000, 4096)
+    assert plan is not None
+    ks, kb, fatcap = plan
+    assert ks <= 192
+    assert kb >= 960
+    assert fatcap >= 32
+    lanes = 10_000 * ks * ks + fatcap * kb * kb
+    assert lanes < 0.2 * 10_000 * kb * kb
+
+
+def test_auto_select_picks_tiered_when_clustered():
+    """init_state's occupancy census must route clustered loads to the
+    tiered impl when the impl is auto-chosen on a dense backend."""
+    import os
+
+    cfg = SimConfig(**CLUSTERED)
+    env = os.environ.get("PSIM_DENSE")
+    os.environ["PSIM_DENSE"] = "1"
+    try:
+        eng = Engine(cfg)
+        eng.init_state()
+    finally:
+        if env is None:
+            del os.environ["PSIM_DENSE"]
+        else:
+            os.environ["PSIM_DENSE"] = env
+    assert eng.impl == "tiered"
+    assert eng._tier_plan is not None

@@ -30,6 +30,13 @@ def device_init_state(config, engine):
     k = jax.random.PRNGKey(abs(config.seed))
     ks = jax.random.split(k, 5)
     u = [jax.random.uniform(kk, (n,), jnp.float32) for kk in ks]
+    if config.seed < 0:
+        # Normal mode (reference: negative seed -> Box-Muller N(0.5, 0.15)
+        # with rejection): clustered positions for UNEVEN-shaped loads.
+        u[0] = jnp.clip(jax.random.normal(ks[0], (n,)) * 0.15 + 0.5,
+                        1e-6, 1 - 1e-6)
+        u[1] = jnp.clip(jax.random.normal(ks[1], (n,)) * 0.15 + 0.5,
+                        1e-6, 1 - 1e-6)
     x = u[0] * side
     y = u[1] * side
     vx = (u[2] - 0.5) * side / g / 5.0
@@ -60,8 +67,9 @@ def main():
     steps = int(sys.argv[3]) if len(sys.argv) > 3 else 51
     impl = sys.argv[4] if len(sys.argv) > 4 else "dense"
     side = float(sys.argv[5]) if len(sys.argv) > 5 else 5000.0
+    seed = int(sys.argv[6]) if len(sys.argv) > 6 else 1
 
-    cfg = SimConfig(seed=1, side=side, ncside=ncside, n_particles=n,
+    cfg = SimConfig(seed=seed, side=side, ncside=ncside, n_particles=n,
                     precision=Precision.FAST)
     if impl == "sweep":
         eng = Engine(cfg, impl="sweep")
@@ -74,9 +82,27 @@ def main():
         print(f"supercell S={eng._supercell_factor()}", flush=True)
     elif impl == "resident-pallas":
         eng = Engine(cfg, impl="resident", dense_backend="pallas")
+    elif impl == "tiered":
+        eng = Engine(cfg, impl="tiered", dense_backend="xla")
+    elif impl == "auto":
+        eng = Engine(cfg)
     else:
         eng = Engine(cfg, impl="resident", dense_backend="xla")
     state = device_init_state(cfg, eng)
+    if impl == "tiered":
+        # Device-side states bypass init_state's occupancy census; plan
+        # the tiers from this state so the first compile is right-sized.
+        from particlesimulation_tpu.ops.tiered import plan_tiers
+        w = cfg.side / cfg.ncside
+        cx = np.clip((np.asarray(state.x) / w).astype(np.int64), 0,
+                     cfg.ncside - 1)
+        cy = np.clip((np.asarray(state.y) / w).astype(np.int64), 0,
+                     cfg.ncside - 1)
+        hist = np.bincount(cy * cfg.ncside + cx, minlength=cfg.ncells)
+        eng._tier_plan = (plan_tiers(hist, cfg.ncells, eng._max_kcap())
+                          or eng._default_tier_plan())
+        print(f"tier plan (k_small, k_big, fatcap) = {eng._tier_plan}",
+              flush=True)
 
     t0 = time.time()
     s1 = eng.run(state, 1)
