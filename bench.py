@@ -37,17 +37,22 @@ def main() -> int:
     eng = Engine(cfg)
     state = device_init_state(cfg, eng)
 
-    eng.run(state, 1)          # compile + warm (includes capacity retries)
-    t0 = time.perf_counter()
-    eng.run(state, 1)
-    t1 = time.perf_counter() - t0
-
     steps = 101
-    t0 = time.perf_counter()
-    out = eng.run(state, steps)
-    tk = time.perf_counter() - t0
-
-    per_step = max((tk - t1) / (steps - 1), 1e-9)
+    eng.run(state, 1)          # compile + warm (includes capacity retries)
+    eng.run(state, steps)      # absorb the tunnel's one-time executable
+    #                            re-preparation stall (~90 s, observed on
+    #                            later calls; see tools/tpu_stepbench.py)
+    per_step = None
+    for _rep in range(2):      # best-of-2 vs residual transients
+        t0 = time.perf_counter()
+        eng.run(state, 1)
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        out = eng.run(state, steps)
+        tk = time.perf_counter() - t0
+        per = max((tk - t1) / (steps - 1), 1e-9)
+        if per_step is None or per < per_step:
+            per_step = per
     rate = n / per_step
     print(json.dumps({
         "metric": "particle_steps_per_sec_n1e6",

@@ -214,6 +214,24 @@ def rebin(ts: TileState, side: float, ncside: int, kcap: int,
     # R=2 5.87 (fewer rounds beat the extra rank terms), R=3 pathological
     # (XLA lowering collapses, 1.8 s/step), round-2's R=8 also lost.
     R = int(os.environ.get("PSIM_REBIN_R", "2"))
+    # Arrival-selection formulation: "argmax" chains per-rank argmax
+    # reductions, "rank" is the general cumsum form. Winner/target
+    # selection is identical — the r-th set lane — so the two are
+    # bit-equivalent; only the op class differs. Measured (v5e, N=1e6
+    # bench, same-session best-of-2 after the warm pass): R=1 argmax
+    # 0.9 ms/step cheaper (round 2); R=2 chained argmax 11.61 vs rank
+    # 13.83 ms/step (round 3, on a ~2.4x-degraded device day — the
+    # 16% relative win is the meaningful number). Default: argmax.
+    FORM = os.environ.get("PSIM_REBIN_FORM",
+                          "argmax" if R <= 2 else "rank")
+    # Phase-2 transport batching: stacking the five f32 fields into one
+    # (5, ncells, K) array turns 5 masked-sum/roll/select chains per term
+    # into 1 (pid stays a separate int32 pass — bitcasting pids through
+    # f32 arithmetic is not NaN-payload-safe). Measured NEUTRAL-to-
+    # slightly-negative on the v5e (11.79 vs 11.61 ms/step same-session,
+    # PERF.md round-3 A/B) — XLA already fuses the five chains; off by
+    # default, kept for A/B.
+    STACKF = os.environ.get("PSIM_REBIN_STACK", "0") == "1"
 
     def one_round(st: TileState):
         """One delivery round: per (row, direction), the first R pending
@@ -241,7 +259,7 @@ def rebin(ts: TileState, side: float, ncside: int, kcap: int,
         for d, (dx, dy) in enumerate(STENCIL):
             going = moving & (sx == dx) & (sy == dy)
             arr = _roll_grid(going, dx, dy, ncside, nrows)
-            if R == 1:
+            if R == 1 and FORM == "argmax":
                 # argmax formulation (committed round-1/2 path): one
                 # reduction instead of a cumsum — measured ~0.9 ms/step
                 # cheaper than the rank form at the N=1e6 bench.
@@ -255,6 +273,28 @@ def rebin(ts: TileState, side: float, ncside: int, kcap: int,
                 rolls.append((dx, dy))
                 departed = departed | src_win
                 tgt_any = tgt_any | tgt
+                continue
+            if FORM == "argmax":
+                # Chained-argmax form for R=2: rank r's winner is the
+                # first set lane of arr with the previous winners cleared
+                # — the same lane the cumsum form selects (arank == r+1),
+                # via 2 reductions instead of a (ncells, K) cumsum.
+                rem = arr
+                for r in range(R):
+                    slot_rank = d * R + r + 1
+                    has = jnp.any(rem, axis=1, keepdims=True)
+                    ok = has & (slot_rank <= n_free)
+                    sel = rem & (lane == jnp.argmax(rem, axis=1)[:, None])
+                    win = sel & ok
+                    tgt = (~occ) & (fr == slot_rank) & ok
+                    src_win = _roll_grid(win, -dx, -dy, ncside,
+                                         nrows) & going
+                    wins_src.append(src_win)
+                    tgts.append(tgt)
+                    rolls.append((dx, dy))
+                    departed = departed | src_win
+                    tgt_any = tgt_any | tgt
+                    rem = rem & ~sel
                 continue
             arank = jnp.cumsum(arr.astype(jnp.int32), axis=1)  # 1-based
             cnt = arank[:, -1:]
@@ -289,10 +329,28 @@ def rebin(ts: TileState, side: float, ncside: int, kcap: int,
                 ins = term if ins is None else ins + term
             return jnp.where(tgt_any, ins, field)
 
+        def place_stacked():
+            # One masked-sum/roll/select chain moves all five f32 fields
+            # per term (leading stack axis) instead of five chains.
+            F = jnp.stack([getattr(st, f) for f in FIELDS])  # (5,ncells,K)
+            z = jnp.zeros((), F.dtype)
+            ins = None
+            for (dx, dy), src_win, tgt in zip(rolls, wins_src, tgts):
+                w = jnp.sum(jnp.where(src_win[None], F, z), axis=2,
+                            keepdims=True)                    # (5,ncells,1)
+                g = w.reshape(len(FIELDS), nrows or ncside, ncside, 1)
+                w_dst = jnp.roll(g, (dy, dx), axis=(1, 2)).reshape(w.shape)
+                term = jnp.where(tgt[None], w_dst, z)
+                ins = term if ins is None else ins + term
+            out = jnp.where(tgt_any[None], ins, F)
+            return {f: out[i] for i, f in enumerate(FIELDS)}
+
+        new_fields = (place_stacked() if STACKF else
+                      {f: place(getattr(st, f)) for f in FIELDS})
         st = st._replace(
             occ=occ & ~departed,
             pid=place(st.pid, is_int=True),
-            **{f: place(getattr(st, f)) for f in FIELDS})
+            **new_fields)
         st = st._replace(m=jnp.where(st.occ, st.m,
                                      jnp.asarray(0.0, st.m.dtype)))
         still, _, _ = mover_info(st)

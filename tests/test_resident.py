@@ -103,6 +103,31 @@ def test_resident_pallas_backend_interpret():
     np.testing.assert_array_equal(bv["alive"], av["alive"])
 
 
+def test_rebin_r2_argmax_form_bitexact(monkeypatch):
+    """The chained-argmax R=2 delivery form selects the same winner lanes
+    and target slots as the cumsum rank form (the r-th set lane / the
+    (d*R+r+1)-th free slot), so whole runs must be BIT-identical —
+    identical slot placement means identical f32 reduction order."""
+    import numpy as np
+
+    from particlesimulation_tpu.config import Precision, SimConfig
+    from particlesimulation_tpu.engine import Engine
+
+    base = dict(seed=3, side=16.0, ncside=16, n_particles=500,
+                precision=Precision.FAST)
+    monkeypatch.setenv("PSIM_REBIN_R", "2")
+    monkeypatch.setenv("PSIM_REBIN_FORM", "argmax")
+    e1 = Engine(SimConfig(**base), impl="resident", dense_backend="xla")
+    s1 = e1.run(e1.init_state(), 25)
+    monkeypatch.setenv("PSIM_REBIN_FORM", "rank")
+    e2 = Engine(SimConfig(**base), impl="resident", dense_backend="xla")
+    s2 = e2.run(e2.init_state(), 25)
+    assert int(s1.collisions) == int(s2.collisions)
+    for f in ("x", "y", "vx", "vy", "m", "pid", "alive"):
+        np.testing.assert_array_equal(np.asarray(getattr(s1, f)),
+                                      np.asarray(getattr(s2, f)), err_msg=f)
+
+
 def test_rebin_compact_matches_rounds(monkeypatch):
     """Straggler compaction (opt-in; measured slower on the v5e but kept
     as the CPU-class/A-B variant) vs the default delivery rounds: same

@@ -108,15 +108,29 @@ def main():
     s1 = eng.run(state, 1)
     print(f"first run(1): {time.time()-t0:.1f}s (compile+exec) "
           f"kcap={eng.kcap} dense={eng.use_dense}", flush=True)
+    # Warm pass at the full step count: the tunnel runtime occasionally
+    # re-prepares the executable on a later call (~90 s one-time stall,
+    # observed 2026-08-17 — run(64) fast, run(80) 87 s, run(101) fast
+    # again); absorbing it unmeasured keeps the steady-state numbers
+    # honest. Best-of-2 guards against residual transients.
     t0 = time.time()
-    s1 = eng.run(state, 1)
-    t1 = time.time() - t0
-    print(f"run(1): {t1*1000:.1f} ms", flush=True)
-    t0 = time.time()
-    sk = eng.run(state, steps)
-    tk = time.time() - t0
-    per = (tk - t1) / (steps - 1)
-    print(f"run({steps}): {tk*1000:.1f} ms -> per-step {per*1000:.2f} ms; "
+    eng.run(state, steps)
+    print(f"warm run({steps}): {time.time()-t0:.1f}s", flush=True)
+    best = None
+    for _rep in range(2):
+        t0 = time.time()
+        s1 = eng.run(state, 1)
+        t1 = time.time() - t0
+        t0 = time.time()
+        sk = eng.run(state, steps)
+        tk = time.time() - t0
+        per = (tk - t1) / (steps - 1)
+        print(f"run(1): {t1*1000:.1f} ms; run({steps}): {tk*1000:.1f} ms "
+              f"-> per-step {per*1000:.2f} ms", flush=True)
+        if best is None or per < best:
+            best = per
+    per = best
+    print(f"per-step {per*1000:.2f} ms; "
           f"rate {n/per/1e6:.1f} M particle*steps/s; "
           f"collisions={int(np.asarray(sk.collisions))} "
           f"overflow={int(np.asarray(sk.overflow))}", flush=True)
