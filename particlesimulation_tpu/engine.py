@@ -607,18 +607,22 @@ class Engine:
 
     def _default_tier_plan(self):
         # No census available (state not from init_state): Poisson k_small
-        # plus generous fat headroom; the lossless retry ladder refines.
+        # for the bulk plus a generous top class; the lossless retry
+        # ladder refines. Plan format: [(cap, rows), ...], rows_0=ncells.
         ks = self._heuristic_kcap()
         kb = min(max(4 * ks, 256), self._max_kcap())
-        fatcap = self._round_cap(max(self.config.ncells // 16, 32))
-        return ks, kb, fatcap
+        fatrows = self._round_cap(max(self.config.ncells // 16, 32))
+        if kb <= ks:
+            kb = self._round_cap(ks + 32)
+        return ((ks, self.config.ncells), (kb, fatrows))
 
     def _build(self):
         if self.impl == "tiered":
             if self._tier_plan is None:
                 self._tier_plan = self._default_tier_plan()
-            self.kcap = self._tier_plan[1]  # telemetry/reporting: k_big
-            if self._tier_plan[1] > self._max_kcap():
+            self._tier_plan = tuple(tuple(p) for p in self._tier_plan)
+            self.kcap = self._tier_plan[-1][0]  # telemetry: top cap
+            if self.kcap > self._max_kcap():
                 self.impl = "dense"
                 self._tier_plan = None
                 self.kcap = None
@@ -638,9 +642,8 @@ class Engine:
             return
         if self.impl == "tiered":
             from particlesimulation_tpu.ops.tiered import make_tiered_step
-            ks, kb, fatcap = self._tier_plan
             step, build_tiles, run = make_tiered_step(
-                self.config, ks, kb, fatcap, self.dense_backend)
+                self.config, self._tier_plan, self.dense_backend)
             self._step = lambda st: step(st, build_tiles(st))[0]
             self._run = jax.jit(run)
         elif self.impl == "resident":
@@ -692,7 +695,7 @@ class Engine:
                 plan = plan_tiers(hist, cfg.ncells, self._max_kcap())
                 if self.impl == "tiered" or (
                         self._impl_auto and plan is not None
-                        and plan[1] >= 2 * plan[0]):
+                        and plan[-1][0] >= 2 * plan[0][0]):
                     # Clustered occupancy (a hot cell ≫ the distribution's
                     # bulk): two-tier tiles stop the hot cell from taxing
                     # every cell's pair pass (ops/tiered.py).
@@ -746,16 +749,19 @@ class Engine:
             if need == 0:
                 return out
             if self.impl == "tiered":
-                # Negative need = fat-list overflow (grow fatcap), positive
-                # = a cell outgrew k_big (ops/tiered.py telemetry).
-                ks, kb, fatcap = self._tier_plan
+                # Negative need = worst class row-budget deficit (grow
+                # every class's rows — occupancy drifted between classes),
+                # positive = a cell outgrew the top cap (ops/tiered.py).
+                plan = [list(p) for p in self._tier_plan]
                 if need < 0:
-                    fatcap = max(self._round_cap(-need * 1.5 + 2),
-                                 self._round_cap(fatcap * 1.5))
+                    for t in range(1, len(plan)):
+                        plan[t][1] = self._round_cap(
+                            plan[t][1] * 1.5 + (-need) * 1.3)
                 else:
-                    kb = max(self._round_cap(need * 1.25 + 1),
-                             self._round_cap(kb * 1.5))
-                self._tier_plan = (ks, kb, fatcap)
+                    plan[-1][0] = max(self._round_cap(need * 1.25 + 1),
+                                      self._round_cap(plan[-1][0] * 1.5))
+                kb = plan[-1][0]
+                self._tier_plan = tuple(tuple(p) for p in plan)
                 if _attempt >= 2 or kb > self._max_kcap():
                     # Re-planning isn't converging — the occupancy
                     # distribution drifted past the census; single-tier

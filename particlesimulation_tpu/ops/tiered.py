@@ -1,36 +1,40 @@
-"""Two-tier dense tiles for clustered (high-variance-occupancy) grids.
+"""Occupancy-classed dense tiles for clustered (high-variance) grids.
 
 The reference's bucket grid pays per-particle work regardless of how
 particles distribute over cells (reference serial/parsim.cpp:261-290,
 292-377: per-bucket loops). The TPU dense-tile formulation instead pays
 ``ncells x kcap^2`` pair lanes with ``kcap`` = the *global* max occupancy —
 on clustered loads (the reference harness's normal-mode ``-seed`` inits,
-serial/parsim.cpp:220-232, where a Gaussian blob drives one cell to ~10x
-the mean) that single hot cell taxes every cell in the grid. Measured: the
-UNEVEN workload (seed -23, side 5000, ncside 100, N=1e6) forces kcap=960
-against an average occupancy of 100 — 9.2e9 pair lanes, 158.9 ms/step,
-6.3 M particle-steps/s (PERF.md).
+serial/parsim.cpp:220-232, a Gaussian blob) the occupancy spans orders of
+magnitude (UNEVEN: median 21, max ~750 at a mean of 100), so one hot cell
+taxes every cell: kcap=960, 9.2e9 pair lanes, 158.9 ms/step (PERF.md).
 
-Two-tier formulation: tiles come in two static shapes —
+A first two-tier cut (round 3) measured only 1.14x better: the blob's
+occupancy is a smooth continuum — 1888 of 10000 cells exceeded any
+reasonable small cap, and every one of them paid the global-max tile.
+The fix is a **geometric ladder of occupancy classes**: cells are grouped
+by occupancy into T classes with static caps k_0 < k_1 < ... < k_{T-1};
+class 0 keeps a row for every cell (row = cell id, no indirection), and
+each higher class holds a compact census-budgeted row list. A cell pays
+pair lanes proportional to (at worst) 4x its own occupancy squared —
+``sum_t rows_t * k_t^2`` ~ 0.6G lanes on UNEVEN vs 11.8G single-tier
+(lane model in the planner below; sum occ^2 = 0.35G is the floor).
 
-* a **small tier** ``(ncells, k_small)`` holding every cell whose occupancy
-  fits, with ``k_small`` sized to the occupancy *distribution* (not its
-  max); and
-* a compact **fat tier** ``(fatcap, k_big)`` holding only the few cells
-  that exceed ``k_small``, indexed by a per-step ``fat_ids`` cell list.
+Layout: all classes live in ONE flat slot buffer (class offsets are
+static), so tile build is a single scatter per field and the force
+readback a single gather — per-particle traffic does not scale with T.
+The per-class pair/collision kernels (`ops/dense_xla.py`,
+`ops/pallas/cell_pairs`) run unchanged on reshaped views of the flat
+buffer. Per-cell COM rows merge by scatter-add (a classed cell's class-0
+row is empty), so the stencil tables and every downstream consumer see
+the same (ncells,) arrays as the single-tier step.
 
-Each cell lives entirely in exactly one tier (all-pairs stays intra-tile),
-so the pair/collision kernels (`ops/dense_xla.py`, `ops/pallas/cell_pairs`)
-run unchanged per tier: ``ncells*k_small^2 + fatcap*k_big^2`` lanes — 37x
-fewer than single-tier on UNEVEN. Per-cell COM rows merge by scatter-add
-(a fat cell's small-tier row is empty), so the stencil tables and every
-downstream consumer see the same (ncells,) arrays as the single-tier step.
-
-Capacity is planned from an occupancy census (`plan_tiers`) and guarded
-in-graph: occupancy beyond ``k_big`` or more fat cells than ``fatcap``
-flags ``state.overflow`` (fat-list overflow in the negative range) and the
-engine's lossless retry ladder re-plans, exactly like the single-tier
-impls (engine.py:run). The reference PANIC-skips in its analogous case.
+Capacity is planned from a host-side occupancy census (`plan_tiers`, a
+boundary DP over 32-multiples) and guarded in-graph: occupancy beyond
+the top cap flags ``state.overflow`` positive, a class row-budget
+deficit flags it negative, and the engine's lossless retry ladder
+re-plans — exactly like the single-tier impls (engine.py:run). The
+reference PANIC-skips in its analogous case.
 """
 
 from __future__ import annotations
@@ -47,96 +51,155 @@ def _round32(x: float) -> int:
     return max(32, (int(x) + 31) // 32 * 32)
 
 
-def plan_tiers(occ_hist, ncells: int, max_kcap: int):
-    """Choose (k_small, k_big, fatcap) from a host-side occupancy census.
+# Cost-model weights (v5e, lax.map dense kernels): ~1e11 pair lanes/s on
+# the measured flagship; per-extra-class fixed overhead (an extra pair +
+# collision kernel dispatch and COM merge inside the step, ~0.1 ms)
+# charged as lane-equivalents — it also makes the planner decline
+# ladders on small grids, where dispatch overhead beats lane savings.
+_CLASS_PENALTY = 8_000_000
+_SLOT_WEIGHT = 24  # linear per-slot passes (scatter, COM, collision aux)
 
-    ``occ_hist``: array of per-cell occupancies (numpy). Minimizes the
-    pair-lane model ``ncells*k^2 + fatcap_k*k_big^2`` over 32-multiples of
-    ``k`` and returns None when the best two-tier plan saves < 40% of the
-    single-tier lanes (then single-tier tiles are simpler and as fast).
+
+def plan_tiers(occ_hist, ncells: int, max_kcap: int):
+    """Choose class caps+row budgets from a host-side occupancy census.
+
+    Returns ``[(cap_0, rows_0=ncells), (cap_1, rows_1), ...]`` (caps
+    ascending, row budgets census * 1.3 headroom) minimizing
+    ``sum rows*k^2 + slot/class overheads`` via a boundary DP over
+    32-multiples, or None when the best ladder saves < 40% of the
+    single-tier cost (then plain dense tiles are simpler and as fast).
     """
     import numpy as np
 
     occ = np.asarray(occ_hist)
     maxocc = int(occ.max()) if occ.size else 0
-    k_big = min(_round32(maxocc * 1.1 + 4), max_kcap)
-    single = ncells * k_big * k_big
-    best = None
-    for k in range(32, max(33, min(maxocc, max_kcap)), 32):
-        nfat = int((occ > k).sum())
-        fatcap = _round32(nfat * 1.3 + 2)
-        lanes = ncells * k * k + fatcap * k_big * k_big
-        if best is None or lanes < best[0]:
-            best = (lanes, k, k_big, fatcap)
-    if best is None or best[0] > 0.6 * single:
+    top = min(_round32(maxocc * 1.1 + 4), max_kcap)
+    single = ncells * top * top + _SLOT_WEIGHT * ncells * top
+    caps = [k for k in range(32, top, 32)] + [top]
+    # occupancy counts above each candidate boundary, for O(1) rows()
+    counts = {k: int((occ > k).sum()) for k in [0] + caps}
+
+    def seg_cost(prev: int, k: int, first: bool):
+        n_seg = counts[prev] - counts[k]
+        rows = ncells if first else max(32, -(-int(n_seg * 1.3) // 32) * 32)
+        return rows * k * k + _SLOT_WEIGHT * rows * k + _CLASS_PENALTY, rows
+
+    best = {}  # prev_cap -> (cost, plan-tail)
+    order = [0] + caps
+
+    def solve(prev: int, first: bool):
+        if prev == top:
+            return 0, ()
+        key = (prev, first)
+        if key in best:
+            return best[key]
+        b = None
+        for k in caps:
+            if k <= prev:
+                continue
+            c0, rows = seg_cost(prev, k, first)
+            ct, tail = solve(k, False)
+            cand = (c0 + ct, ((k, rows),) + tail)
+            if b is None or cand[0] < b[0]:
+                b = cand
+        best[key] = b
+        return b
+
+    import sys
+    rec = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(rec, len(order) + 100))
+    try:
+        cost, plan = solve(0, True)
+    finally:
+        sys.setrecursionlimit(rec)
+    if cost > 0.6 * single or len(plan) < 2:
         return None
-    return best[1], best[2], best[3]
+    return list(plan)
 
 
-def make_tiered_step(config: SimConfig, k_small: int, k_big: int,
-                     fatcap: int, backend: str = "xla"):
-    """Fast f32 step over two-tier dense tiles (clustered-grid hot path).
+def make_tiered_step(config: SimConfig, plan, backend: str = "xla"):
+    """Fast f32 step over occupancy-classed dense tiles.
 
+    ``plan``: [(cap, rows), ...] caps ascending, rows_0 == ncells.
     Mirrors ``engine.make_dense_step`` (same step sequencing, same carried
     post-move tiles, reference serial/parsim.cpp:422-448) with the tile
-    build/consume split across the two tiers.
+    build/consume split across the classes.
     """
     side = config.side
     nc = config.ncside
     ncells = config.ncells
     assert config.precision is Precision.FAST
-    assert k_big >= k_small
+    plan = [(int(k), int(r)) for k, r in plan]
+    caps = [k for k, _ in plan]
+    rows = [r for _, r in plan]
+    assert caps == sorted(caps) and len(set(caps)) == len(caps)
+    assert rows[0] == ncells
+    T = len(plan)
+    offs = [0]
+    for k, r in plan:
+        offs.append(offs[-1] + r * k)
+    total = offs[-1]
     if backend == "pallas":
         from particlesimulation_tpu.ops.pallas import cell_pairs as dmod
     else:
         from particlesimulation_tpu.ops import dense_xla as dmod
 
-    OOB_S = ncells * k_small
-    OOB_F = fatcap * k_big
-
-    def scatter_tier(idx, oob, *arrays):
-        out = []
-        for a in arrays:
-            out.append(jnp.zeros(oob, a.dtype)
-                       .at[idx].set(a, mode="drop"))
-        return out
+    caps_a = jnp.asarray(caps, jnp.int32)          # (T,)
+    rows_a = jnp.asarray(rows, jnp.int32)
+    offs_a = jnp.asarray(offs[:-1], jnp.int32)
+    cell_ids = jnp.arange(ncells, dtype=jnp.int32)
 
     def build_tiles(state: SimState):
-        """Two-tier tiles + index maps for the state's sorted positions."""
+        """Classed tiles (one flat slot buffer) + index maps."""
         key, valid = binning.cell_keys(state.x, state.y, side, nc)
         pos, _ = binning.segment_positions(key)
         occ = (jnp.zeros(ncells + 1, jnp.int32).at[key].add(1))[:ncells]
         kmax = jnp.max(occ)
-        fat = occ > k_small
-        n_fat = jnp.sum(fat, dtype=jnp.int32)
-        fat_rank = jnp.cumsum(fat.astype(jnp.int32)) - 1
-        # Cell id per fat row; unused rows stay 0 — their tiles are empty
-        # (m=0 everywhere), which every consumer treats as inert.
-        fat_ids = (jnp.zeros(fatcap, jnp.int32)
-                   .at[jnp.where(fat, fat_rank, fatcap)]
-                   .set(jnp.arange(ncells, dtype=jnp.int32), mode="drop"))
-        # Overflow telemetry: positive = occupancy needs k_big >= that;
-        # negative = fat list needs fatcap >= |that| (engine.run re-plans).
-        ovf = jnp.where(kmax > k_big, kmax, 0).astype(jnp.int32)
-        ovf = jnp.where((ovf == 0) & (n_fat > fatcap), -n_fat, ovf)
+        # Class of each cell: first cap >= occ (top class for over-cap
+        # cells too — they overflow k slots, flagged below).
+        cls = jnp.searchsorted(caps_a, occ, side="left").astype(jnp.int32)
+        cls = jnp.minimum(cls, T - 1)
+        # Row of each cell within its class: class 0 is identity (every
+        # cell owns a row); higher classes are compact rank lists.
+        row_of_cell = cell_ids
+        ids_list = []   # (rows_t,) cell id per class row, classes 1..T-1
+        n_list = []
+        deficit = jnp.int32(0)
+        for t in range(1, T):
+            sel = cls == t
+            n_t = jnp.sum(sel, dtype=jnp.int32)
+            rank = jnp.cumsum(sel.astype(jnp.int32)) - 1
+            row_of_cell = jnp.where(sel, rank, row_of_cell)
+            ids_t = (jnp.zeros(rows[t], jnp.int32)
+                     .at[jnp.where(sel & (rank < rows[t]), rank, rows[t])]
+                     .set(cell_ids, mode="drop"))
+            ids_list.append(ids_t)
+            n_list.append(n_t)
+            deficit = jnp.maximum(deficit, n_t - rows[t])
+        # Overflow telemetry: positive = occupancy needs top cap >= that;
+        # negative = worst class row deficit (engine.run re-plans).
+        ovf = jnp.where(kmax > caps[-1], kmax, 0).astype(jnp.int32)
+        ovf = jnp.where((ovf == 0) & (deficit > 0), -deficit, ovf)
+
         kc = jnp.minimum(key, jnp.int32(ncells - 1))
-        is_fat_p = valid & fat[kc]
-        fr_p = fat_rank[kc]
-        oks = valid & ~is_fat_p & (pos < k_small)
-        okf = valid & is_fat_p & (pos < k_big) & (fr_p < fatcap)
-        idx_s = jnp.where(oks, key * k_small + pos, OOB_S)
-        idx_f = jnp.where(okf, fr_p * k_big + pos, OOB_F)
-        xs, ys, ms = scatter_tier(idx_s, OOB_S, state.x, state.y, state.m)
-        xf, yf, mf = scatter_tier(idx_f, OOB_F, state.x, state.y, state.m)
-        return {"xs": xs.reshape(ncells, k_small),
-                "ys": ys.reshape(ncells, k_small),
-                "ms": ms.reshape(ncells, k_small),
-                "xf": xf.reshape(fatcap, k_big),
-                "yf": yf.reshape(fatcap, k_big),
-                "mf": mf.reshape(fatcap, k_big),
-                "idx_s": idx_s, "idx_f": idx_f, "oks": oks, "okf": okf,
-                "fat_ids": fat_ids, "n_fat": n_fat, "ovf": ovf,
+        cls_p = cls[kc]
+        k_p = caps_a[cls_p]
+        row_p = row_of_cell[kc]
+        ok = (valid & (pos < k_p) & (row_p < rows_a[cls_p]))
+        idx = jnp.where(ok, offs_a[cls_p] + row_p * k_p + pos, total)
+        xf = jnp.zeros(total, state.x.dtype).at[idx].set(state.x,
+                                                         mode="drop")
+        yf = jnp.zeros(total, state.y.dtype).at[idx].set(state.y,
+                                                         mode="drop")
+        mf = jnp.zeros(total, state.m.dtype).at[idx].set(state.m,
+                                                         mode="drop")
+        return {"xf": xf, "yf": yf, "mf": mf, "idx": idx, "ok": ok,
+                "ids": ids_list, "ncls": n_list, "ovf": ovf,
                 "panic": jnp.sum(~valid, dtype=jnp.int32)}
+
+    def views(flat):
+        return [flat[offs[t]:offs[t + 1]].reshape(rows[t], caps[t])
+                for t in range(T)]
 
     INF = jnp.int32(0x7FFFFFFF)
 
@@ -144,21 +207,22 @@ def make_tiered_step(config: SimConfig, k_small: int, k_big: int,
         x, y, vx, vy, m, alive, pid = (state.x, state.y, state.vx, state.vy,
                                        state.m, state.alive, state.pid)
         ovf = tiles["ovf"]
-        fat_ids = tiles["fat_ids"]
-        frow_ok = jnp.arange(fatcap, dtype=jnp.int32) < tiles["n_fat"]
-        ftgt = jnp.where(frow_ok, fat_ids, ncells)  # OOB rows dropped
+        xs, ys, ms = views(tiles["xf"]), views(tiles["yf"]), views(tiles["mf"])
 
-        # Per-cell COM: small-tier row reductions, fat rows merged by
-        # scatter-add (a fat cell's small row is all-zero).
-        def merged(ws, wf):
-            return ws.at[ftgt].add(wf, mode="drop")
+        # Per-cell COM: class-0 rows are cell-indexed; higher classes
+        # merge by scatter-add (their class-0 rows are all-zero).
+        def merged(parts):
+            out = parts[0]
+            for t in range(1, T):
+                tgt = jnp.where(
+                    jnp.arange(rows[t], dtype=jnp.int32) < tiles["ncls"][t - 1],
+                    tiles["ids"][t - 1], ncells)
+                out = out.at[tgt].add(parts[t], mode="drop")
+            return out
 
-        M = merged(jnp.sum(tiles["ms"], axis=1),
-                   jnp.sum(tiles["mf"], axis=1))
-        SX = merged(jnp.sum(tiles["ms"] * tiles["xs"], axis=1),
-                    jnp.sum(tiles["mf"] * tiles["xf"], axis=1))
-        SY = merged(jnp.sum(tiles["ms"] * tiles["ys"], axis=1),
-                    jnp.sum(tiles["mf"] * tiles["yf"], axis=1))
+        M = merged([jnp.sum(ms[t], axis=1) for t in range(T)])
+        SX = merged([jnp.sum(ms[t] * xs[t], axis=1) for t in range(T)])
+        SY = merged([jnp.sum(ms[t] * ys[t], axis=1) for t in range(T)])
         safe = jnp.where(M > 0, M, jnp.float32(1.0))
         MX = jnp.where(M > 0, SX / safe, jnp.float32(0.0))
         MY = jnp.where(M > 0, SY / safe, jnp.float32(0.0))
@@ -168,20 +232,24 @@ def make_tiered_step(config: SimConfig, k_small: int, k_big: int,
         mxl_t = mxl[:, :ncells].T
         myl_t = myl[:, :ncells].T
 
-        fxs, fys = dmod.dense_pairwise_forces(
-            tiles["xs"], tiles["ys"], tiles["ms"],
-            ml_t, mxl_t, myl_t, ncells, k_small)
-        fxf, fyf = dmod.dense_pairwise_forces(
-            tiles["xf"], tiles["yf"], tiles["mf"],
-            ml_t[fat_ids], mxl_t[fat_ids], myl_t[fat_ids], fatcap, k_big)
+        fparts_x, fparts_y = [], []
+        for t in range(T):
+            if t == 0:
+                mlv, mxv, myv = ml_t, mxl_t, myl_t
+            else:
+                ids = tiles["ids"][t - 1]
+                mlv, mxv, myv = ml_t[ids], mxl_t[ids], myl_t[ids]
+            fx_t, fy_t = dmod.dense_pairwise_forces(
+                xs[t], ys[t], ms[t], mlv, mxv, myv, rows[t], caps[t])
+            fparts_x.append(fx_t.reshape(-1))
+            fparts_y.append(fy_t.reshape(-1))
+        fxf = jnp.concatenate(fparts_x)
+        fyf = jnp.concatenate(fparts_y)
 
         zero = jnp.float32(0.0)
-        gs = jnp.minimum(tiles["idx_s"], OOB_S - 1)
-        gf = jnp.minimum(tiles["idx_f"], OOB_F - 1)
-        fx = (jnp.where(tiles["oks"], fxs.reshape(-1)[gs], zero)
-              + jnp.where(tiles["okf"], fxf.reshape(-1)[gf], zero))
-        fy = (jnp.where(tiles["oks"], fys.reshape(-1)[gs], zero)
-              + jnp.where(tiles["okf"], fyf.reshape(-1)[gf], zero))
+        g = jnp.minimum(tiles["idx"], total - 1)
+        fx = jnp.where(tiles["ok"], fxf[g], zero)
+        fy = jnp.where(tiles["ok"], fyf[g], zero)
 
         x, y, vx, vy = integrate.integrate(x, y, vx, vy, m, fx, fy, side,
                                            DELTAT)
@@ -195,32 +263,28 @@ def make_tiered_step(config: SimConfig, k_small: int, k_big: int,
                        collisions=state.collisions, panics=state.panics,
                        overflow=state.overflow)
         tiles2 = build_tiles(mid)
-        # Keep the strongest overflow signal (positive beats negative so a
-        # genuine occupancy need is never masked by a fat-list need).
-        ovf = jnp.where(tiles2["ovf"] > 0,
-                        jnp.maximum(ovf, tiles2["ovf"]),
-                        jnp.where(ovf > 0, ovf,
-                                  jnp.minimum(ovf, tiles2["ovf"])))
+        ovf = _merge_ovf(ovf, tiles2["ovf"])
 
-        # Collisions per tier. Slot order is (key, pid)-sorted in both
-        # tiers, so slot index == bucket order (no pid tiles needed).
-        ads = (tiles2["ms"] > 0).astype(jnp.int32)
-        adf = (tiles2["mf"] > 0).astype(jnp.int32)
-        cnt_s, ft_s = dmod.dense_collisions(
-            tiles2["xs"], tiles2["ys"], ads, ncells, k_small, EPSILON)
-        cnt_f, ft_f = dmod.dense_collisions(
-            tiles2["xf"], tiles2["yf"], adf, fatcap, k_big, EPSILON)
-        gs2 = jnp.minimum(tiles2["idx_s"], OOB_S - 1)
-        gf2 = jnp.minimum(tiles2["idx_f"], OOB_F - 1)
-        died = ((tiles2["oks"] & (ft_s.reshape(-1)[gs2] != INF))
-                | (tiles2["okf"] & (ft_f.reshape(-1)[gf2] != INF)))
+        # Collisions per class. Slot order is (key, pid)-sorted in every
+        # class, so slot index == bucket order (no pid tiles needed).
+        xs2, ys2, ms2 = (views(tiles2["xf"]), views(tiles2["yf"]),
+                         views(tiles2["mf"]))
+        count = jnp.int32(0)
+        ft_parts = []
+        for t in range(T):
+            ad = (ms2[t] > 0).astype(jnp.int32)
+            cnt_t, ft_t = dmod.dense_collisions(
+                xs2[t], ys2[t], ad, rows[t], caps[t], EPSILON)
+            count = count + cnt_t
+            ft_parts.append(ft_t.reshape(-1))
+        ftf = jnp.concatenate(ft_parts)
+        g2 = jnp.minimum(tiles2["idx"], total - 1)
+        died = tiles2["ok"] & (ftf[g2] != INF)
         m, alive = collisions.apply_deaths(m, alive, died)
         # Deaths in tile space keep the carried mass tiles consistent.
-        tiles2["ms"] = jnp.where(ft_s != INF, jnp.float32(0.0), tiles2["ms"])
-        tiles2["mf"] = jnp.where(ft_f != INF, jnp.float32(0.0), tiles2["mf"])
+        tiles2["mf"] = jnp.where(ftf != INF, jnp.float32(0.0), tiles2["mf"])
         tiles2["ovf"] = ovf
 
-        count = cnt_s + cnt_f
         out = SimState(
             x=x, y=y, vx=vx, vy=vy, m=m, alive=alive, pid=pid,
             collisions=state.collisions + count.astype(state.collisions.dtype),
@@ -244,6 +308,6 @@ def make_tiered_step(config: SimConfig, k_small: int, k_big: int,
 
 def _merge_ovf(a, b):
     """Merge overflow telemetry: positive (occupancy need) dominates,
-    otherwise the most-negative fat-list need."""
+    otherwise the most-negative row deficit."""
     return jnp.where((a > 0) | (b > 0),
                      jnp.maximum(a, b), jnp.minimum(a, b))

@@ -53,13 +53,20 @@ def test_tiered_fat_tier_actually_used():
     cfg = SimConfig(**CLUSTERED)
     eng = Engine(cfg, impl="tiered", dense_backend="xla")
     state = eng.init_state()
-    ks, kb, fatcap = eng._tier_plan
-    _, build_tiles, _ = make_tiered_step(cfg, ks, kb, fatcap, "xla")
+    plan = eng._tier_plan
+    assert len(plan) >= 2
+    _, build_tiles, _ = make_tiered_step(cfg, plan, "xla")
     import jax
     tiles = jax.jit(build_tiles)(state)
-    assert int(tiles["n_fat"]) >= 1
-    assert int(np.asarray(tiles["okf"]).sum()) > ks  # a genuinely fat cell
-    assert int(np.asarray(tiles["oks"]).sum()) > 0
+    # At least one cell must land in a higher class, with real particles.
+    assert int(tiles["ncls"][-1]) + sum(
+        int(tiles["ncls"][t]) for t in range(len(plan) - 1)) >= 1
+    k0 = plan[0][0]
+    ok = np.asarray(tiles["ok"])
+    idx = np.asarray(tiles["idx"])
+    in_higher = ok & (idx >= plan[0][0] * cfg.ncells)
+    assert in_higher.sum() > k0  # a genuinely over-k0 cell's particles
+    assert (ok & ~in_higher).sum() > 0
 
 
 def test_tiered_overflow_retry_lossless():
@@ -68,7 +75,10 @@ def test_tiered_overflow_retry_lossless():
     right-sized run exactly — the reference PANIC-drops in this situation,
     this engine may not (engine.py:run)."""
     _, ref = _run("tiered")
-    eng, out = _run("tiered", plan=(32, 32, 32))
+    eng, out = _run("tiered",
+                    plan=((16, CLUSTERED["ncside"] ** 2), (32, 256)))
+    assert eng.impl == "tiered"  # healed by growing the top cap, no
+    #                              escalation to single-tier dense
     assert int(ref.collisions) == int(out.collisions)
     np.testing.assert_array_equal(np.asarray(ref.alive), np.asarray(out.alive))
     for f in ("x", "y"):
@@ -93,12 +103,14 @@ def test_plan_tiers_clustered_plans():
     hist[123] = 960
     plan = plan_tiers(hist, 10_000, 4096)
     assert plan is not None
-    ks, kb, fatcap = plan
-    assert ks <= 192
-    assert kb >= 960
-    assert fatcap >= 32
-    lanes = 10_000 * ks * ks + fatcap * kb * kb
-    assert lanes < 0.2 * 10_000 * kb * kb
+    caps = [k for k, _ in plan]
+    rows = [r for _, r in plan]
+    assert caps == sorted(caps)
+    assert rows[0] == 10_000
+    assert caps[0] <= 192       # bulk class sized to the distribution
+    assert caps[-1] >= 960      # top class covers the hot cell
+    lanes = sum(r * k * k for k, r in plan)
+    assert lanes < 0.2 * 10_000 * caps[-1] ** 2
 
 
 def test_auto_select_picks_tiered_when_clustered():
@@ -106,7 +118,10 @@ def test_auto_select_picks_tiered_when_clustered():
     tiered impl when the impl is auto-chosen on a dense backend."""
     import os
 
-    cfg = SimConfig(**CLUSTERED)
+    # Census-scale shape (UNEVEN at reduced N): init_state only computes
+    # the host-side occupancy census here — the engine never builds.
+    cfg = SimConfig(seed=-7, side=5000.0, ncside=100, n_particles=200_000,
+                    precision=Precision.FAST)
     env = os.environ.get("PSIM_DENSE")
     os.environ["PSIM_DENSE"] = "1"
     try:

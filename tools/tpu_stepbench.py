@@ -101,7 +101,7 @@ def main():
         hist = np.bincount(cy * cfg.ncside + cx, minlength=cfg.ncells)
         eng._tier_plan = (plan_tiers(hist, cfg.ncells, eng._max_kcap())
                           or eng._default_tier_plan())
-        print(f"tier plan (k_small, k_big, fatcap) = {eng._tier_plan}",
+        print(f"tier plan (cap, rows) per class = {eng._tier_plan}",
               flush=True)
 
     t0 = time.time()
