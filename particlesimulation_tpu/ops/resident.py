@@ -10,15 +10,17 @@ few particles that changed cell ("movers") directly between rows:
    cell delta — diagonal moves allowed);
 2. for each direction, departing-slot tiles roll across the periodic cell
    grid (``jnp.roll`` — a reindex copy, no gathers);
-3. each round, every row accepts up to one arrival per direction: the
-   first pending arrival (``argmax`` over the rolled mover mask) lands in
-   the row's current first free slot (``argmin`` over occupancy), with the
-   transfer done by one-hot masked reductions — pure elementwise + reduce
-   ops, no gathers, no scatters, no matmuls, bit-exact data movement
-   (pids ride int32 masked sums);
+3. each round, every row accepts up to R arrivals per direction: the
+   first pending arrivals (``argmax``/cumsum rank over the rolled mover
+   mask) land in the row's free slots assigned *packed* across directions
+   (a per-row accepted-so-far counter, so a row with F free slots takes
+   up to F arrivals regardless of which directions they come from), with
+   the transfer done by one-hot masked reductions — pure elementwise +
+   reduce ops, no gathers, no scatters, no matmuls, bit-exact data
+   movement (pids ride int32 masked sums);
 4. rounds repeat in a ``while_loop`` until every mover is delivered
-   (guaranteed progress: ≥1 delivery per pending (row, direction) per
-   round while free slots exist; typical steps need one or two rounds,
+   (guaranteed progress: any row with a free slot and a pending arrival
+   accepts at least one per round; typical steps need one or two rounds,
    multi-cell hops a few more).
 
 A round cap plus an overflow flag lets the engine retry losslessly with
@@ -245,12 +247,22 @@ def rebin(ts: TileState, side: float, ncside: int, kcap: int,
         """
         moving, sx, sy = mover_info(st)
 
-        # Phase 1 — masks. Direction d's rank-r arrival takes the row's
-        # (d*R + r + 1)-th free slot (one cumsum ranks all free slots; no
-        # sequential occupancy accounting between directions).
+        # Phase 1 — masks. Free slots are assigned PACKED: a per-row
+        # running `base` counts arrivals accepted so far this round, and
+        # the next acceptance (any direction) takes free slot base+1.
+        # The earlier static assignment (direction d's rank r took slot
+        # d*R+r+1 unconditionally) deadlocked at snug kcap: a row with
+        # fewer than 8R free slots blocked high-numbered directions
+        # forever, the while_loop spun to MAX_ROUNDS, and the engine's
+        # lossless retry grew kcap 160 -> 256 spuriously (observed at the
+        # N=1e6 bench, step ~75, R=2). Packed, any row with a free slot
+        # and a pending arrival makes progress every round, so
+        # "undelivered" can only mean genuinely full rows — which kcap
+        # growth does fix.
         occ = st.occ
         fr = jnp.cumsum((~occ).astype(jnp.int32), axis=1)  # 1-based free rank
         n_free = fr[:, -1:]
+        base = jnp.zeros_like(n_free)  # (ncells, 1) accepted-so-far
         wins_src = []   # winner one-hots at source coordinates
         tgts = []       # landing one-hots at destination coordinates
         rolls = []      # (dx, dy) per term, for phase 2's column rolls
@@ -264,15 +276,16 @@ def rebin(ts: TileState, side: float, ncside: int, kcap: int,
                 # reduction instead of a cumsum — measured ~0.9 ms/step
                 # cheaper than the rank form at the N=1e6 bench.
                 has = jnp.any(arr, axis=1, keepdims=True)
-                ok = has & (d < n_free)
+                ok = has & (base < n_free)
                 win = arr & (lane == jnp.argmax(arr, axis=1)[:, None]) & ok
-                tgt = (~occ) & (fr == d + 1) & ok
+                tgt = (~occ) & (fr == base + 1) & ok
                 src_win = _roll_grid(win, -dx, -dy, ncside, nrows) & going
                 wins_src.append(src_win)
                 tgts.append(tgt)
                 rolls.append((dx, dy))
                 departed = departed | src_win
                 tgt_any = tgt_any | tgt
+                base = base + ok.astype(jnp.int32)
                 continue
             if FORM == "argmax":
                 # Chained-argmax form for R=2: rank r's winner is the
@@ -281,12 +294,11 @@ def rebin(ts: TileState, side: float, ncside: int, kcap: int,
                 # via 2 reductions instead of a (ncells, K) cumsum.
                 rem = arr
                 for r in range(R):
-                    slot_rank = d * R + r + 1
                     has = jnp.any(rem, axis=1, keepdims=True)
-                    ok = has & (slot_rank <= n_free)
+                    ok = has & (base < n_free)
                     sel = rem & (lane == jnp.argmax(rem, axis=1)[:, None])
                     win = sel & ok
-                    tgt = (~occ) & (fr == slot_rank) & ok
+                    tgt = (~occ) & (fr == base + 1) & ok
                     src_win = _roll_grid(win, -dx, -dy, ncside,
                                          nrows) & going
                     wins_src.append(src_win)
@@ -294,23 +306,24 @@ def rebin(ts: TileState, side: float, ncside: int, kcap: int,
                     rolls.append((dx, dy))
                     departed = departed | src_win
                     tgt_any = tgt_any | tgt
+                    base = base + ok.astype(jnp.int32)
                     rem = rem & ~sel
                 continue
             arank = jnp.cumsum(arr.astype(jnp.int32), axis=1)  # 1-based
             cnt = arank[:, -1:]
             for r in range(R):
-                slot_rank = d * R + r + 1
-                ok = (cnt > r) & (slot_rank <= n_free)
+                ok = (cnt > r) & (base < n_free)
                 # The (r+1)-th pending arrival (source-slot order)...
                 win = arr & (arank == r + 1) & ok
-                # ...lands in the row's (d*R + r + 1)-th free slot.
-                tgt = (~occ) & (fr == slot_rank) & ok
+                # ...lands in the row's next packed free slot.
+                tgt = (~occ) & (fr == base + 1) & ok
                 src_win = _roll_grid(win, -dx, -dy, ncside, nrows) & going
                 wins_src.append(src_win)
                 tgts.append(tgt)
                 rolls.append((dx, dy))
                 departed = departed | src_win
                 tgt_any = tgt_any | tgt
+                base = base + ok.astype(jnp.int32)
         occ = occ | tgt_any
 
         # Phase 2 — data: one write per field.

@@ -155,3 +155,52 @@ def test_rebin_compact_matches_rounds(monkeypatch):
     np.testing.assert_allclose(np.asarray(s1.x)[o1], np.asarray(s2.x)[o2],
                                atol=1e-4)
     assert (np.unique(np.asarray(s1.pid)) == np.arange(400)).all()
+
+
+@pytest.mark.parametrize("r_env,form", [("1", "argmax"), ("2", "argmax"),
+                                        ("2", "rank")])
+def test_rebin_packed_slots_no_direction_deadlock(r_env, form, monkeypatch):
+    """A nearly-full destination row must still accept arrivals from
+    high-numbered stencil directions (regression: free slots used to be
+    assigned by static direction rank d*R+r+1, so a row with fewer than
+    ~8R free slots blocked late directions forever; the delivery loop
+    spun to MAX_ROUNDS and raised a spurious capacity retry — observed
+    at the N=1e6 bench as kcap 160 -> 256)."""
+    import jax.numpy as jnp
+
+    from particlesimulation_tpu.ops import resident as res
+
+    monkeypatch.setenv("PSIM_REBIN_R", r_env)
+    monkeypatch.setenv("PSIM_REBIN_FORM", form)
+    ncside, kcap, side = 4, 8, 4.0
+    ncells = ncside * ncside
+    x = np.zeros((ncells, kcap), np.float32)
+    y = np.zeros((ncells, kcap), np.float32)
+    occ = np.zeros((ncells, kcap), bool)
+    pid = np.full((ncells, kcap), -1, np.int32)
+    # Destination cell (1,1) = row 5: 7 residents, ONE free slot.
+    for k in range(7):
+        occ[5, k] = True
+        x[5, k], y[5, k] = 1.2 + 0.05 * k, 1.3
+        pid[5, k] = k
+    # The mover: resident in row 0 (cell (0,0)) but positioned in cell
+    # (1,1) -> sign delta (+1,+1) = STENCIL index 7, the last direction.
+    occ[0, 0] = True
+    x[0, 0], y[0, 0] = 1.5, 1.5
+    pid[0, 0] = 99
+    m = np.where(occ, 1.0, 0.0).astype(np.float32)
+    ts = res.TileState(
+        x=jnp.asarray(x), y=jnp.asarray(y),
+        vx=jnp.zeros_like(jnp.asarray(x)),
+        vy=jnp.zeros_like(jnp.asarray(x)),
+        m=jnp.asarray(m), occ=jnp.asarray(occ), pid=jnp.asarray(pid),
+        collisions=jnp.zeros((), jnp.int32),
+        panics=jnp.zeros((), jnp.int32),
+        overflow=jnp.zeros((), jnp.int32))
+    out, left = res.rebin(ts, side, ncside, kcap)
+    assert int(left) == 0  # delivered, not deadlocked
+    occ_out = np.asarray(out.occ)
+    pid_out = np.asarray(out.pid)
+    assert occ_out[5].sum() == 8
+    assert not occ_out[0].any()
+    assert 99 in pid_out[5][occ_out[5]]
