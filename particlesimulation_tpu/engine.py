@@ -498,6 +498,7 @@ class Engine:
         self.dense_backend = dense_backend or _dense_backend_default()
         self._impl_auto = False
         self._tier_plan = None  # (k_small, k_big, fatcap) for impl="tiered"
+        self._band_plan = None  # [(row0, rows, kcap), ...] for impl="banded"
         if config.precision is Precision.PARITY:
             if not jax.config.jax_enable_x64:
                 raise RuntimeError(
@@ -530,10 +531,11 @@ class Engine:
                     impl = "supercell" if (_use_dense_default()
                                            and s is not None) else "sweep"
             if impl not in ("resident", "dense", "sweep", "supercell",
-                            "tiered"):
+                            "tiered", "banded"):
                 raise ValueError(
                     f"unknown impl {impl!r}; "
-                    "valid: resident, dense, sweep, supercell, tiered")
+                    "valid: resident, dense, sweep, supercell, tiered, "
+                    "banded")
             self.impl = impl
         if kcap is None and os.environ.get("PSIM_KCAP"):
             # Tuning override: pair cost scales with kcap x kb and every
@@ -547,7 +549,8 @@ class Engine:
 
     @property
     def use_dense(self) -> bool:
-        return self.impl in ("dense", "resident", "supercell", "tiered")
+        return self.impl in ("dense", "resident", "supercell", "tiered",
+                             "banded")
 
     def _supercell_factor(self) -> int:
         if getattr(self, "_sc_factor", None) is None:
@@ -617,6 +620,18 @@ class Engine:
         return ((ks, self.config.ncells), (kb, fatrows))
 
     def _build(self):
+        if self.impl == "banded":
+            if self._band_plan is None:
+                # No census available: one whole-grid band (== resident
+                # economics); init_state or the caller provides real plans.
+                self._band_plan = ((0, self.config.ncside,
+                                    self._heuristic_kcap()),)
+            self._band_plan = tuple(tuple(p) for p in self._band_plan)
+            self.kcap = max(k for _, _, k in self._band_plan)
+            if self.kcap > self._max_kcap():
+                self.impl = "dense"
+                self._band_plan = None
+                self.kcap = None
         if self.impl == "tiered":
             if self._tier_plan is None:
                 self._tier_plan = self._default_tier_plan()
@@ -637,10 +652,17 @@ class Engine:
             if self.kcap > self._max_kcap():
                 self.impl = "sweep"
         key = (self.impl, self.kcap if self.use_dense else None,
-               self._tier_plan if self.impl == "tiered" else None)
+               self._tier_plan if self.impl == "tiered" else None,
+               self._band_plan if self.impl == "banded" else None)
         if self._built_key == key and self._run is not None:
             return
-        if self.impl == "tiered":
+        if self.impl == "banded":
+            from particlesimulation_tpu.ops.banded import make_banded_run
+            step, prologue, run = make_banded_run(
+                self.config, self._band_plan, self.dense_backend)
+            self._run = jax.jit(run)
+            self._step = lambda st: run(st, 1)
+        elif self.impl == "tiered":
             from particlesimulation_tpu.ops.tiered import make_tiered_step
             step, build_tiles, run = make_tiered_step(
                 self.config, self._tier_plan, self.dense_backend)
@@ -691,6 +713,11 @@ class Engine:
                 hist = np.bincount(cy * cfg.ncside + cx,
                                    minlength=cfg.ncells)
                 occ = hist.max()
+                if self.impl == "banded" and self._band_plan is None:
+                    from particlesimulation_tpu.ops.banded import plan_bands
+                    bp = plan_bands(hist, cfg.ncside, self._max_kcap())
+                    self._band_plan = (tuple(tuple(p) for p in bp) if bp
+                                       else None)
                 from particlesimulation_tpu.ops.tiered import plan_tiers
                 plan = plan_tiers(hist, cfg.ncells, self._max_kcap())
                 if self.impl == "tiered" or (
@@ -748,6 +775,21 @@ class Engine:
             need = int(np.asarray(out.overflow))
             if need == 0:
                 return out
+            if self.impl == "banded":
+                # Band overflow (tile occupancy, halo merge, or ship cap):
+                # grow every band's capacity and replay losslessly; if
+                # growth stops converging, the resident/dense ladder has
+                # no banding assumptions to violate.
+                from particlesimulation_tpu.ops.banded import grow_plan
+                self._band_plan = tuple(
+                    tuple(p) for p in grow_plan(self._band_plan, 1.5,
+                                                self._max_kcap()))
+                self.kcap = max(k for _, _, k in self._band_plan)
+                if _attempt >= 2:
+                    self.impl = "dense"
+                    self._band_plan = None
+                    self.kcap = None
+                continue
             if self.impl == "tiered":
                 # Negative need = worst class row-budget deficit (grow
                 # every class's rows — occupancy drifted between classes),

@@ -84,11 +84,26 @@ def main():
         eng = Engine(cfg, impl="resident", dense_backend="pallas")
     elif impl == "tiered":
         eng = Engine(cfg, impl="tiered", dense_backend="xla")
+    elif impl == "banded":
+        eng = Engine(cfg, impl="banded", dense_backend="xla")
     elif impl == "auto":
         eng = Engine(cfg)
     else:
         eng = Engine(cfg, impl="resident", dense_backend="xla")
     state = device_init_state(cfg, eng)
+    if impl == "banded":
+        from particlesimulation_tpu.ops.banded import plan_bands
+        w = cfg.side / cfg.ncside
+        cx = np.clip((np.asarray(state.x) / w).astype(np.int64), 0,
+                     cfg.ncside - 1)
+        cy = np.clip((np.asarray(state.y) / w).astype(np.int64), 0,
+                     cfg.ncside - 1)
+        hist = np.bincount(cy * cfg.ncside + cx, minlength=cfg.ncells)
+        bp = plan_bands(hist, cfg.ncside, eng._max_kcap())
+        if bp:
+            eng._band_plan = tuple(tuple(p) for p in bp)
+        print(f"band plan (row0, rows, kcap) = {eng._band_plan or bp}",
+              flush=True)
     if impl == "tiered":
         # Device-side states bypass init_state's occupancy census; plan
         # the tiers from this state so the first compile is right-sized.
