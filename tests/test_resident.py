@@ -157,6 +157,57 @@ def test_rebin_compact_matches_rounds(monkeypatch):
     assert (np.unique(np.asarray(s1.pid)) == np.arange(400)).all()
 
 
+def test_rebin_axis_routed_matches_full_stencil(monkeypatch):
+    """PSIM_REBIN_DIRS=4 (x-first axis routing; diagonal movers take two
+    hops) must deliver the same particles to the same cells as the full
+    8-direction stencil — only slot assignment within a cell may differ."""
+    import jax.numpy as jnp
+
+    from particlesimulation_tpu.ops import resident as res
+
+    ncside, kcap, side = 8, 12, 8.0
+    ncells = ncside * ncside
+    rng = np.random.default_rng(11)
+    x = np.zeros((ncells, kcap), np.float32)
+    y = np.zeros((ncells, kcap), np.float32)
+    occ = np.zeros((ncells, kcap), bool)
+    pid = np.full((ncells, kcap), -1, np.int32)
+    p = 0
+    for c in range(ncells):
+        cy0, cx0 = divmod(c, ncside)
+        for k in range(3):
+            occ[c, k] = True
+            # ~Half the particles have wandered into a neighbor cell
+            # (incl. diagonals and wraparound edges).
+            dx, dy = rng.integers(-1, 2), rng.integers(-1, 2)
+            if rng.random() < 0.5:
+                dx = dy = 0
+            x[c, k] = ((cx0 + dx) % ncside) + 0.3 + 0.05 * k
+            y[c, k] = ((cy0 + dy) % ncside) + 0.4
+            pid[c, k] = p
+            p += 1
+    m = np.where(occ, 1.0, 0.0).astype(np.float32)
+
+    def mk():
+        return res.TileState(
+            x=jnp.asarray(x), y=jnp.asarray(y),
+            vx=jnp.zeros_like(jnp.asarray(x)),
+            vy=jnp.zeros_like(jnp.asarray(x)),
+            m=jnp.asarray(m), occ=jnp.asarray(occ), pid=jnp.asarray(pid),
+            collisions=jnp.zeros((), jnp.int32),
+            panics=jnp.zeros((), jnp.int32),
+            overflow=jnp.zeros((), jnp.int32))
+
+    outs = {}
+    for dirs in ("8", "4"):
+        monkeypatch.setenv("PSIM_REBIN_DIRS", dirs)
+        out, left = res.rebin(mk(), side, ncside, kcap)
+        assert int(left) == 0
+        po, oo = np.asarray(out.pid), np.asarray(out.occ)
+        outs[dirs] = [sorted(po[c][oo[c]].tolist()) for c in range(ncells)]
+    assert outs["8"] == outs["4"]
+
+
 @pytest.mark.parametrize("r_env,form", [("1", "argmax"), ("2", "argmax"),
                                         ("2", "rank")])
 def test_rebin_packed_slots_no_direction_deadlock(r_env, form, monkeypatch):
