@@ -46,6 +46,8 @@ its analogous case.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -60,6 +62,13 @@ _FIELDS = ("x", "y", "vx", "vy", "m")
 # Extra ship rounds beyond the band count (multi-band hops + x-fixups).
 SHIP_SLACK = 4
 INF = jnp.int32(0x7FFFFFFF)
+# Halo-transfer lane budget: delivery packs halo arrivals into each
+# cell's lowest slots (rows are cleared every ship round, free-slot
+# ranks assign contiguously), so the cross-capacity merge only needs the
+# first W lanes of a halo row — (nc, K_dst, W) one-hot placement instead
+# of (nc, K_dst, K_src). Per-cell per-round crossers beyond W flag
+# overflow (lossless retry; the attempt's result is discarded).
+HALO_W = int(os.environ.get("PSIM_BAND_HALO_W", "64"))
 
 
 def _round32(x: float) -> int:
@@ -142,6 +151,7 @@ def make_banded_run(config: SimConfig, plan, backend: str = "xla"):
     for (r0, rw, _), (r0n, _, _) in zip(bands, bands[1:]):
         assert r0 + rw == r0n
     fused_fn = dmod.resolve_pair_impl()
+    halo_w = int(os.environ.get("PSIM_BAND_HALO_W", str(HALO_W)))
 
     # Per-band static geometry.
     NROWS = [rw + 2 for _, rw, _ in bands]          # + 2 halo rows
@@ -248,8 +258,22 @@ def make_banded_run(config: SimConfig, plan, backend: str = "xla"):
         def body(c):
             bl, _, rounds, ovf = c
             bl = list(bl)
-            tops = [extract_row(bl[b], 0, b) for b in range(B)]
-            bots = [extract_row(bl[b], NROWS[b] - 1, b) for b in range(B)]
+
+            def take(row, b):
+                # Packed-prefix halo slice (see HALO_W); occupants beyond
+                # the lane budget are dropped from this attempt and
+                # flagged, so the engine replays with a grown plan.
+                w = min(halo_w, bands[b][2])
+                dropped = jnp.sum(row["occ"][:, w:], dtype=jnp.int32)
+                return {f: v[:, :w] for f, v in row.items()}, dropped
+
+            tops, bots = [], []
+            for b in range(B):
+                t, d1 = take(extract_row(bl[b], 0, b), b)
+                bo, d2 = take(extract_row(bl[b], NROWS[b] - 1, b), b)
+                tops.append(t)
+                bots.append(bo)
+                ovf = ovf + d1 + d2
             bl = [clear_halos(bl[b], b) for b in range(B)]
             for b in range(B):
                 # band b's top halo (global row row0-1) -> previous band's

@@ -95,6 +95,24 @@ def test_banded_capacity_retry_lossless():
         range(cfg.n_particles))
 
 
+def test_banded_halo_lane_budget_overflow_lossless(monkeypatch):
+    """A tiny PSIM_BAND_HALO_W drops band-crossers from the attempt; the
+    overflow flag must fire and the engine replay losslessly."""
+    monkeypatch.setenv("PSIM_BAND_HALO_W", "1")
+    cfg = SimConfig(seed=5, side=8.0, ncside=8, n_particles=600,
+                    precision=Precision.FAST)
+    ref = Engine(cfg, impl="resident")
+    out_r = ref.run(ref.init_state(), 15)
+    eng = Engine(cfg, impl="banded")
+    eng._band_plan = ((0, 4, 64), (4, 4, 64))
+    out_b = eng.run(eng.init_state(), 15)
+    assert int(np.asarray(out_b.overflow)) == 0
+    assert int(np.asarray(out_r.collisions)) == int(
+        np.asarray(out_b.collisions))
+    assert sorted(np.asarray(out_b.pid).tolist()) == list(
+        range(cfg.n_particles))
+
+
 def test_plan_bands_shapes():
     from particlesimulation_tpu.ops.banded import plan_bands
 
