@@ -150,8 +150,19 @@ def make_banded_run(config: SimConfig, plan, backend: str = "xla"):
     assert bands[0][0] == 0 and sum(b[1] for b in bands) == nc
     for (r0, rw, _), (r0n, _, _) in zip(bands, bands[1:]):
         assert r0 + rw == r0n
+    # The end-of-run compaction needs at least N real slots grid-wide
+    # (census plans always satisfy this: every band cap >= its cells'
+    # occupancy); a hand-forced plan that can't even hold the particles
+    # should fail loudly here, not as an epilogue shape error.
+    real_slots = sum(rw * nc * k for _, rw, k in bands)
+    if real_slots < config.n_particles:
+        raise ValueError(
+            f"band plan holds {real_slots} slots < N={config.n_particles}")
     fused_fn = dmod.resolve_pair_impl()
     halo_w = int(os.environ.get("PSIM_BAND_HALO_W", str(HALO_W)))
+    # Debug-only phase ablation for on-device cost attribution
+    # (PSIM_ABLATE=rebin|pairs|mono skips that phase; results are wrong).
+    ablate = os.environ.get("PSIM_ABLATE", "")
 
     # Per-band static geometry.
     NROWS = [rw + 2 for _, rw, _ in bands]          # + 2 halo rows
@@ -351,21 +362,33 @@ def make_banded_run(config: SimConfig, plan, backend: str = "xla"):
             limbos.append(limbo)
         tables = com_tables(bl, mfs)
         for b in range(B):
-            ml_t, mxl_t, myl_t = tables[b]
-            fxm, fym = dmod.monopole_tile_forces(
-                bl[b].x, bl[b].y, mfs[b], ml_t, mxl_t, myl_t)
+            if ablate == "mono":
+                fx_tot, fy_tot = fxs[b], fys[b]
+            else:
+                ml_t, mxl_t, myl_t = tables[b]
+                fxm, fym = dmod.monopole_tile_forces(
+                    bl[b].x, bl[b].y, mfs[b], ml_t, mxl_t, myl_t)
+                fx_tot, fy_tot = fxs[b] + fxm, fys[b] + fym
             x, y, vx, vy = integrate.integrate(
                 bl[b].x, bl[b].y, bl[b].vx, bl[b].vy, bl[b].m,
-                fxs[b] + fxm, fys[b] + fym, side, DELTAT)
+                fx_tot, fy_tot, side, DELTAT)
             bl[b] = bl[b]._replace(x=x, y=y, vx=vx, vy=vy)
 
-        bl, und = ship_and_deliver(tuple(bl))
+        if ablate == "rebin":
+            und = jnp.int32(0)
+        else:
+            bl, und = ship_and_deliver(tuple(bl))
         bl = list(bl)
 
         fxs2, fys2 = [], []
         count = jnp.int32(0)
         for b in range(B):
-            fxd, fyd, cnt, died = pair_pass(bl[b], b, collide=True)
+            if ablate == "pairs":
+                fxd = jnp.zeros_like(bl[b].x)
+                fyd, cnt = fxd, jnp.int32(0)
+                died = jnp.zeros(bl[b].occ.shape, bool)
+            else:
+                fxd, fyd, cnt, died = pair_pass(bl[b], b, collide=True)
             bl[b] = bl[b]._replace(
                 m=jnp.where(died, jnp.float32(0.0), bl[b].m))
             fxs2.append(fxd)
