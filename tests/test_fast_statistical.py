@@ -43,14 +43,14 @@ HEAVY_CASES = [
 ]
 
 
-def _run_both(seed, side, nc, n, steps):
+def _run_both(seed, side, nc, n, steps, impl="resident"):
     pcfg = SimConfig(seed=seed, side=side, ncside=nc, n_particles=n,
                      precision=Precision.PARITY)
     pe = Engine(pcfg)
     ps = pe.run(pe.init_state(), steps)
     fcfg = SimConfig(seed=seed, side=side, ncside=nc, n_particles=n,
                      precision=Precision.FAST)
-    fe = Engine(fcfg, impl="resident", dense_backend="xla")
+    fe = Engine(fcfg, impl=impl, dense_backend="xla")
     fs = fe.run(fe.init_state(), steps)
     return ps, fs
 
@@ -109,4 +109,14 @@ def test_fast_statistical_parity(case):
 def test_fast_statistical_parity_heavy(case):
     seed, side, nc, n, steps = case
     ps, fs = _run_both(seed, side, nc, n, steps)
+    _assert_statistical_parity(ps, fs, side)
+
+
+@pytest.mark.parametrize("impl", ["banded", "tiered"])
+def test_fast_statistical_parity_clustered_impls(impl):
+    """The clustered-grid engines through the same gate on the
+    normal-mode (Gaussian-blob) vector-#11 shape — the workload regime
+    they exist for (reference UNEVEN, CPD_2nd_delivery.pdf p.6)."""
+    seed, side, nc, n, steps = (-1, 1000, 30, 100000, 60)
+    ps, fs = _run_both(seed, side, nc, n, steps, impl=impl)
     _assert_statistical_parity(ps, fs, side)
