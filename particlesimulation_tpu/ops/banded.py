@@ -82,7 +82,12 @@ def _round32(x: float) -> int:
 # measured 2.64 ms pair pass at K=160). Each band adds two halo rows
 # and its own rebin/pair dispatches.
 _SLOT_WEIGHT = 220
-_BAND_PENALTY = 10_000_000
+# Per-band fixed cost in lane units (~0.1 ms of dispatch at 1e11/s).
+# Also the compile-time lever: each band adds its own rebin/pair/ship
+# sub-graphs to the step program, and the remote-compile tunnel pays
+# minutes per program — raise PSIM_BAND_PENALTY to plan fewer, fatter
+# bands when compile time dominates a short experiment.
+_BAND_PENALTY = int(os.environ.get("PSIM_BAND_PENALTY", "10000000"))
 
 
 def plan_bands(hist2d, ncside: int, max_kcap: int):
