@@ -55,8 +55,27 @@ class SimConfig:
     shard_capacity: int = 0
     # Per-step migration buffer entries per shard; 0 = auto.
     migration_capacity: int = 0
+    # Optional census-planned shard row boundaries (first owned global row
+    # per shard, ascending, starting at 0). Empty = the balanced uneven
+    # split below. Clustered (normal-mode blob) workloads concentrate
+    # particles in a few grid rows; equal-rows decomposition then loads one
+    # shard with most of the pair work — the reference's own report
+    # documents exactly this on UNEVEN (CPD_2nd_delivery.pdf p.6, 9.69x of
+    # a possible ~22x). ``parallel/balance.py`` plans these from the
+    # initial census.
+    row_starts: tuple = ()
 
     def __post_init__(self):
+        if self.row_starts:
+            rs = tuple(int(r) for r in self.row_starts)
+            if (len(rs) != self.n_shards or rs[0] != 0
+                    or any(b <= a for a, b in zip(rs, rs[1:]))
+                    or rs[-1] >= self.ncside):
+                raise ValueError(
+                    f"row_starts {rs} must be {self.n_shards} strictly "
+                    f"increasing rows starting at 0, below ncside="
+                    f"{self.ncside}")
+            object.__setattr__(self, "row_starts", rs)
         if self.ncside < 1:
             raise ValueError("ncside must be >= 1")
         if self.n_particles < 1:
@@ -96,9 +115,16 @@ class SimConfig:
     def rows_rem(self) -> int:
         return self.ncside % self.n_shards
 
+    def _row_counts(self) -> tuple:
+        """Rows owned per shard under explicit ``row_starts``."""
+        ends = self.row_starts[1:] + (self.ncside,)
+        return tuple(e - s for s, e in zip(self.row_starts, ends))
+
     @property
     def rows_max(self) -> int:
         """Static per-shard row-grid height (shard_map needs one shape)."""
+        if self.row_starts:
+            return max(self._row_counts())
         return self.rows_base + (1 if self.rows_rem else 0)
 
     def shard_of_row(self, row, xp=None):
@@ -109,6 +135,9 @@ class SimConfig:
         """
         if xp is None:
             import numpy as xp
+        if self.row_starts:
+            starts = xp.asarray(self.row_starts)
+            return xp.searchsorted(starts, row, side="right") - 1
         split = self.rows_rem * (self.rows_base + 1)
         big = row // (self.rows_base + 1)
         small = self.rows_rem + (row - split) // max(1, self.rows_base)
@@ -117,9 +146,24 @@ class SimConfig:
     def row0_of_shard(self, s):
         """First global row owned by shard ``s`` (python/traced ints)."""
         import jax.numpy as _jnp
+        if self.row_starts:
+            if isinstance(s, int):
+                return self.row_starts[s]
+            return _jnp.asarray(self.row_starts, _jnp.int32)[s]
         if isinstance(s, int):
             return s * self.rows_base + min(s, self.rows_rem)
         return s * self.rows_base + _jnp.minimum(s, self.rows_rem)
+
+    def rows_of_shard(self, s):
+        """Rows owned by shard ``s`` (python/traced ints)."""
+        import jax.numpy as _jnp
+        if self.row_starts:
+            if isinstance(s, int):
+                return self._row_counts()[s]
+            return _jnp.asarray(self._row_counts(), _jnp.int32)[s]
+        if isinstance(s, int):
+            return self.rows_base + (1 if s < self.rows_rem else 0)
+        return self.rows_base + (s < self.rows_rem).astype(_jnp.int32)
 
     def resolved_shard_capacity(self) -> int:
         if self.shard_capacity:

@@ -120,8 +120,6 @@ def make_sharded_step(config: SimConfig, mesh: Mesh, cap: int | None = None,
     ncells = config.ncells
     d = config.n_shards
     rows_max = config.rows_max
-    rows_base = config.rows_base
-    rows_rem = config.rows_rem
     ncells_local = rows_max * nc
     cap = cap or config.resolved_shard_capacity()
     bcap = bcap or config.resolved_migration_capacity()
@@ -136,7 +134,7 @@ def make_sharded_step(config: SimConfig, mesh: Mesh, cap: int | None = None,
     def local_step(state: ShardedState) -> ShardedState:
         me = jax.lax.axis_index(AXIS)
         row0 = config.row0_of_shard(me).astype(jnp.int32)
-        rows_mine = (rows_base + (me < rows_rem)).astype(jnp.int32)
+        rows_mine = config.rows_of_shard(me).astype(jnp.int32)
         x, y, vx, vy, m = state.x, state.y, state.vx, state.vy, state.m
         alive, valid, pid = state.alive, state.valid, state.pid
 
@@ -380,7 +378,8 @@ class ShardedEngine:
         if self.bcap is None:
             self.bcap = max(64, cap // 2)
         key = (self.impl, cap, self.bcap,
-               self.kcap if self.impl == "resident" else None)
+               self.kcap if self.impl == "resident" else None,
+               self.config.row_starts)
         if self._built_key == key and self._run is not None:
             return
         if self.impl == "resident":
@@ -407,6 +406,22 @@ class ShardedEngine:
         cfg = self.config
         xs, ys, vxs, vys, ms = init_particles_host(cfg)
         n = cfg.n_particles
+        if (not cfg.row_starts and cfg.n_shards > 1
+                and os.environ.get("PSIM_SHARD_BALANCE", "1") != "0"):
+            # Census-weighted row boundaries for clustered loads (the
+            # planner declines uniform ones, keeping the balanced-uneven
+            # default); see parallel/balance.py.
+            from particlesimulation_tpu.parallel.balance import (
+                plan_shard_rows)
+            w = cfg.side / cfg.ncside
+            cy = np.clip((np.asarray(ys) / w).astype(np.int64), 0,
+                         cfg.ncside - 1)
+            weights = np.bincount(cy, minlength=cfg.ncside)
+            starts = plan_shard_rows(weights, cfg.n_shards)
+            if starts is not None:
+                import dataclasses
+                cfg = dataclasses.replace(cfg, row_starts=starts)
+                self.config = cfg
         particles = {
             "x": xs, "y": ys, "vx": vxs, "vy": vys, "m": ms,
             "alive": np.ones(n, dtype=bool),

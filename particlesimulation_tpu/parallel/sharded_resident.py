@@ -70,8 +70,6 @@ def make_sharded_resident_run(config: SimConfig, mesh, kcap: int, cap: int):
     nc = config.ncside
     d = config.n_shards
     rows_max = config.rows_max
-    rows_base = config.rows_base
-    rows_rem = config.rows_rem
     nrows_t = rows_max + 2
     ncells_t = nrows_t * nc
     ncells = config.ncells
@@ -85,7 +83,7 @@ def make_sharded_resident_run(config: SimConfig, mesh, kcap: int, cap: int):
     def local_run(slab: ShardedState, n_steps):
         me = jax.lax.axis_index(AXIS)
         row0 = config.row0_of_shard(me).astype(jnp.int32)
-        rows_mine = (rows_base + (me < rows_rem)).astype(jnp.int32)
+        rows_mine = config.rows_of_shard(me).astype(jnp.int32)
         owned_row = (lrow_of >= 1) & (lrow_of <= rows_mine)
         halo_row = (lrow_of == 0) | (lrow_of == nrows_t - 1)
 
