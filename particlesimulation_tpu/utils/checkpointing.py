@@ -30,14 +30,19 @@ def save_state(path: str, state) -> None:
 
 
 def save_sharded_state(path: str, state: ShardedState,
-                       n_shards: int) -> None:
+                       n_shards: int, row_starts: tuple = ()) -> None:
     """Serialize a ShardedState with its slab geometry.
 
-    ``n_shards`` is recorded so :func:`load_sharded_state` can re-pack the
-    flat (D*C,) slabs for a different mesh width or capacity.
+    ``n_shards`` (and ``row_starts`` when the decomposition is
+    census-weighted, parallel/balance.py) are recorded so
+    :func:`restore_sharded` can re-pack the flat (D*C,) slabs for a
+    different mesh width, capacity, or row decomposition — slab placement
+    encodes row ownership, so as-is placement is only legal when all
+    three match.
     """
     arrs = {f: np.asarray(getattr(state, f)) for f in _SHARDED_FIELDS}
     arrs["n_shards"] = np.asarray(n_shards, np.int32)
+    arrs["row_starts"] = np.asarray(row_starts, np.int32)
     np.savez_compressed(path, **arrs)
 
 
@@ -85,13 +90,20 @@ def restore_sharded(path: str, engine, dtype=None) -> ShardedState:
     z = np.load(path)
     d = engine.config.n_shards
     saved_shards = int(z["n_shards"]) if "n_shards" in z.files else None
+    saved_starts = (tuple(int(r) for r in z["row_starts"])
+                    if "row_starts" in z.files else ())
     total = z["x"].shape[0]
     cap = engine.capacity or engine.config.resolved_shard_capacity()
     sh = NamedSharding(engine.mesh, P(AXIS))
     rep = NamedSharding(engine.mesh, P())
     dt = dtype or engine.dtype
 
-    if saved_shards == d and total == d * cap:
+    # Slab placement encodes row ownership: as-is placement needs the
+    # same row decomposition too, else a balanced-boundary checkpoint
+    # restored under different boundaries puts particles on the wrong
+    # shard (the prologue would flag them as strays).
+    if (saved_shards == d and total == d * cap
+            and saved_starts == tuple(engine.config.row_starts)):
         def place(f, cast=None):
             a = z[f]
             return jax.device_put(

@@ -71,6 +71,40 @@ def test_sharded_checkpoint_restores_across_mesh_width(tmp_path):
         np.testing.assert_array_equal(ga[f], gb[f], err_msg=f)
 
 
+def test_sharded_checkpoint_restores_across_row_decomposition(tmp_path):
+    """A checkpoint from census-balanced shard boundaries must re-pack
+    when restored under different boundaries — slab placement encodes
+    row ownership (regression: the as-is fast path used to ignore
+    row_starts and would mis-own every relocated particle)."""
+    import jax
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    from particlesimulation_tpu.parallel.sharded import ShardedEngine
+
+    base = dict(seed=-4, side=8.0, ncside=8, n_particles=400,
+                precision=Precision.PARITY)
+    cfg_b = SimConfig(**base, n_shards=4, row_starts=(0, 3, 4, 5))
+    eb = ShardedEngine(cfg_b)
+    mid = eb.run(eb.init_state(), 10)
+    path = str(tmp_path / "mid_bal.npz")
+    checkpointing.save_sharded_state(path, mid, n_shards=4,
+                                     row_starts=eb.config.row_starts)
+
+    ed = ShardedEngine(SimConfig(**base, n_shards=4))  # default split
+    import os
+    os.environ["PSIM_SHARD_BALANCE"] = "0"
+    try:
+        restored = checkpointing.restore_sharded(path, ed)
+        a = eb.run(mid, 10)
+        b = ed.run(restored, 10)
+    finally:
+        os.environ.pop("PSIM_SHARD_BALANCE", None)
+    ga, gb = eb.gather(a), ed.gather(b)
+    for f in ("pid", "x", "y", "m", "alive"):
+        np.testing.assert_array_equal(ga[f], gb[f], err_msg=f)
+    assert int(np.asarray(b.overflow)) == 0
+
+
 def test_first_divergence_detects_engine_mismatch():
     base = dict(seed=1, side=100.0, ncside=5, n_particles=500)
     pe = Engine(SimConfig(**base, precision=Precision.PARITY))
