@@ -100,8 +100,14 @@ def _roll_grid(a, dx: int, dy: int, ncside: int, nrows: int | None = None):
 
 
 def rebin(ts: TileState, side: float, ncside: int, kcap: int,
-          mover_fn=None, nrows: int | None = None, dest_fn=None):
+          mover_fn=None, nrows: int | None = None, dest_fn=None,
+          return_rounds: bool = False):
     """Deliver all movers to their destination rows. Returns (ts', overflow).
+
+    ``return_rounds=True`` appends the executed delivery-round count to
+    the return tuple (telemetry for the direction-decomposition and R
+    sweeps — per-round cost is static, so rounds × terms is the cost
+    model).
 
     overflow is 0 when everything was delivered within MAX_ROUNDS and no
     row ran out of free slots; otherwise the number of undelivered movers
@@ -234,6 +240,25 @@ def rebin(ts: TileState, side: float, ncside: int, kcap: int,
     # PERF.md round-3 A/B) — XLA already fuses the five chains; off by
     # default, kept for A/B.
     STACKF = os.environ.get("PSIM_REBIN_STACK", "0") == "1"
+    # Direction decomposition: 8 = full stencil (one term set per sign
+    # pair), 4 = axis-routed (dimension-ordered routing: movers with a
+    # nonzero x-delta ship along ±x first, pure-y movers along ±y;
+    # diagonal movers reach their row in two hops). Per-round cost is
+    # mask-dominated and scales with the direction-term count, while
+    # corner-crossing (diagonal) movers are rare at physical step sizes —
+    # so 4 halves the per-round transport for at most ~one extra round.
+    NDIRS = int(os.environ.get("PSIM_REBIN_DIRS", "8"))
+    if NDIRS == 4:
+        DIRS = ((1, 0), (-1, 0), (0, 1), (0, -1))
+    else:
+        DIRS = tuple(STENCIL)
+
+    def _going(moving, sx, sy, dx, dy):
+        if NDIRS == 4:
+            if dx != 0:
+                return moving & (sx == dx)
+            return moving & (sx == 0) & (sy == dy)
+        return moving & (sx == dx) & (sy == dy)
 
     def one_round(st: TileState):
         """One delivery round: per (row, direction), the first R pending
@@ -268,8 +293,8 @@ def rebin(ts: TileState, side: float, ncside: int, kcap: int,
         rolls = []      # (dx, dy) per term, for phase 2's column rolls
         departed = jnp.zeros(st.occ.shape, dtype=bool)
         tgt_any = jnp.zeros(st.occ.shape, dtype=bool)
-        for d, (dx, dy) in enumerate(STENCIL):
-            going = moving & (sx == dx) & (sy == dy)
+        for d, (dx, dy) in enumerate(DIRS):
+            going = _going(moving, sx, sy, dx, dy)
             arr = _roll_grid(going, dx, dy, ncside, nrows)
             if R == 1 and FORM == "argmax":
                 # argmax formulation (committed round-1/2 path): one
@@ -389,7 +414,10 @@ def rebin(ts: TileState, side: float, ncside: int, kcap: int,
             st, left = one_round(st)
             return st, left, rounds + 1
 
-    st, left, _ = jax.lax.while_loop(cond, body, (ts, left0, jnp.int32(0)))
+    st, left, rounds = jax.lax.while_loop(cond, body,
+                                          (ts, left0, jnp.int32(0)))
+    if return_rounds:
+        return st, left, rounds
     return st, left
 
 

@@ -208,6 +208,64 @@ def test_rebin_axis_routed_matches_full_stencil(monkeypatch):
     assert outs["8"] == outs["4"]
 
 
+def test_rebin_axis_routed_needs_no_extra_rounds(monkeypatch):
+    """At the physical diagonal-mover rate (corner crossings are rare),
+    axis routing must deliver in the same number of rounds as the full
+    stencil — the basis of its 2x transport model (PERF.md round census);
+    rounds are deterministic, so this pins the census result."""
+    import jax.numpy as jnp
+
+    from particlesimulation_tpu.ops import resident as res
+
+    ncside, kcap, side = 16, 32, 16.0
+    ncells = ncside * ncside
+    rng = np.random.default_rng(3)
+
+    def build(res):
+        x = np.zeros((ncells, kcap), np.float32)
+        y = np.zeros((ncells, kcap), np.float32)
+        occ = np.zeros((ncells, kcap), bool)
+        pid = np.full((ncells, kcap), -1, np.int32)
+        p = 0
+        for c in range(ncells):
+            cy0, cx0 = divmod(c, ncside)
+            for k in range(12):
+                occ[c, k] = True
+                dx = dy = 0
+                r = rng.random()
+                if r < 0.05:           # movers: 5% of slots
+                    if rng.random() < 0.05:   # ~5% of movers diagonal
+                        dx = rng.choice((-1, 1))
+                        dy = rng.choice((-1, 1))
+                    elif rng.random() < 0.5:
+                        dx = rng.choice((-1, 1))
+                    else:
+                        dy = rng.choice((-1, 1))
+                x[c, k] = (cx0 + dx) % ncside + 0.25 + 0.04 * k
+                y[c, k] = (cy0 + dy) % ncside + 0.5
+                pid[c, k] = p
+                p += 1
+        m = np.where(occ, 1.0, 0.0).astype(np.float32)
+        return res.TileState(
+            x=jnp.asarray(x), y=jnp.asarray(y),
+            vx=jnp.zeros_like(jnp.asarray(x)),
+            vy=jnp.zeros_like(jnp.asarray(x)),
+            m=jnp.asarray(m), occ=jnp.asarray(occ), pid=jnp.asarray(pid),
+            collisions=jnp.zeros((), jnp.int32),
+            panics=jnp.zeros((), jnp.int32),
+            overflow=jnp.zeros((), jnp.int32))
+
+    rounds = {}
+    for dirs in ("8", "4"):
+        monkeypatch.setenv("PSIM_REBIN_DIRS", dirs)
+        rng = np.random.default_rng(3)  # identical movers for both
+        out, left, r = res.rebin(build(res), side, ncside, kcap,
+                                 return_rounds=True)
+        assert int(left) == 0
+        rounds[dirs] = int(r)
+    assert rounds["4"] <= rounds["8"] + 1, rounds
+
+
 @pytest.mark.parametrize("r_env,form", [("1", "argmax"), ("2", "argmax"),
                                         ("2", "rank")])
 def test_rebin_packed_slots_no_direction_deadlock(r_env, form, monkeypatch):
