@@ -724,10 +724,26 @@ class Engine:
                         self._impl_auto and plan is not None
                         and plan[-1][0] >= 2 * plan[0][0]):
                     # Clustered occupancy (a hot cell ≫ the distribution's
-                    # bulk): two-tier tiles stop the hot cell from taxing
-                    # every cell's pair pass (ops/tiered.py).
-                    self.impl = "tiered"
-                    self._tier_plan = plan or self._default_tier_plan()
+                    # bulk): classed tiles stop the hot cell from taxing
+                    # every cell's pair pass. PSIM_CLUSTERED_IMPL selects
+                    # the clustered engine for the auto route (tiered =
+                    # classed dense, ops/tiered.py; banded = row-banded
+                    # resident, ops/banded.py — flip the default once the
+                    # silicon A/B lands, PERF.md "Row-banded resident").
+                    pick = (self.impl if self.impl == "tiered" else
+                            os.environ.get("PSIM_CLUSTERED_IMPL", "tiered"))
+                    if pick == "banded":
+                        from particlesimulation_tpu.ops.banded import (
+                            plan_bands)
+                        bp = plan_bands(hist, cfg.ncside, self._max_kcap())
+                        if bp is not None:
+                            self.impl = "banded"
+                            self._band_plan = tuple(tuple(p) for p in bp)
+                        else:
+                            pick = "tiered"  # spatially incoherent cluster
+                    if pick == "tiered":
+                        self.impl = "tiered"
+                        self._tier_plan = plan or self._default_tier_plan()
             # Snug slack (see _heuristic_kcap): pair-pass cost scales with
             # kcap x kb, and overflow retries are lossless.
             self.kcap = min(self._round_cap(occ * 1.1 + 4),
