@@ -726,12 +726,13 @@ class Engine:
                     # Clustered occupancy (a hot cell ≫ the distribution's
                     # bulk): classed tiles stop the hot cell from taxing
                     # every cell's pair pass. PSIM_CLUSTERED_IMPL selects
-                    # the clustered engine for the auto route (tiered =
-                    # classed dense, ops/tiered.py; banded = row-banded
-                    # resident, ops/banded.py — flip the default once the
-                    # silicon A/B lands, PERF.md "Row-banded resident").
+                    # the clustered engine for the auto route (banded =
+                    # row-banded resident, ops/banded.py — silicon default,
+                    # 56.8 vs 79.7 ms/step on UNEVEN 2026-08-18; tiered =
+                    # classed dense, ops/tiered.py — cheapest first compile,
+                    # PERF.md "Row-banded resident").
                     pick = (self.impl if self.impl == "tiered" else
-                            os.environ.get("PSIM_CLUSTERED_IMPL", "tiered"))
+                            os.environ.get("PSIM_CLUSTERED_IMPL", "banded"))
                     if pick == "banded":
                         from particlesimulation_tpu.ops.banded import (
                             plan_bands)

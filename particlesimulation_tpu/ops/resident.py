@@ -247,7 +247,11 @@ def rebin(ts: TileState, side: float, ncside: int, kcap: int,
     # mask-dominated and scales with the direction-term count, while
     # corner-crossing (diagonal) movers are rare at physical step sizes —
     # so 4 halves the per-round transport for at most ~one extra round.
-    NDIRS = int(os.environ.get("PSIM_REBIN_DIRS", "8"))
+    # Default 4: measured on the v5e N=1e6 bench 2026-08-18 (same session,
+    # best-of-2 after warm): 6.01 ms/step (8-dir) -> 4.66 ms/step, both
+    # collisions=173 overflow=0 — the predicted ~2x delivery-transport cut
+    # with no extra rounds (PERF.md "Axis-routed rebin delivery").
+    NDIRS = int(os.environ.get("PSIM_REBIN_DIRS", "4"))
     if NDIRS == 4:
         DIRS = ((1, 0), (-1, 0), (0, 1), (0, -1))
     else:

@@ -113,24 +113,45 @@ def test_plan_tiers_clustered_plans():
     assert lanes < 0.2 * 10_000 * caps[-1] ** 2
 
 
-def test_auto_select_picks_tiered_when_clustered():
-    """init_state's occupancy census must route clustered loads to the
-    tiered impl when the impl is auto-chosen on a dense backend."""
+def _auto_route_impl(clustered_impl=None):
+    """Run init_state's occupancy census on a clustered config and return
+    the engine (init_state only computes the host-side census here — the
+    engine never builds a step)."""
     import os
 
-    # Census-scale shape (UNEVEN at reduced N): init_state only computes
-    # the host-side occupancy census here — the engine never builds.
+    # Census-scale shape (UNEVEN at reduced N).
     cfg = SimConfig(seed=-7, side=5000.0, ncside=100, n_particles=200_000,
                     precision=Precision.FAST)
-    env = os.environ.get("PSIM_DENSE")
+    saved = {k: os.environ.get(k) for k in ("PSIM_DENSE",
+                                            "PSIM_CLUSTERED_IMPL")}
     os.environ["PSIM_DENSE"] = "1"
+    if clustered_impl is None:
+        os.environ.pop("PSIM_CLUSTERED_IMPL", None)
+    else:
+        os.environ["PSIM_CLUSTERED_IMPL"] = clustered_impl
     try:
         eng = Engine(cfg)
         eng.init_state()
     finally:
-        if env is None:
-            del os.environ["PSIM_DENSE"]
-        else:
-            os.environ["PSIM_DENSE"] = env
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+    return eng
+
+
+def test_auto_select_picks_banded_when_clustered():
+    """The occupancy census must route clustered loads to the clustered
+    default (banded after the 2026-08-18 silicon A/B, PERF.md)."""
+    eng = _auto_route_impl()
+    assert eng.impl == "banded"
+    assert eng._band_plan is not None
+
+
+def test_auto_select_honors_tiered_override():
+    """PSIM_CLUSTERED_IMPL=tiered must still route to the classed dense
+    engine (cheapest first compile)."""
+    eng = _auto_route_impl("tiered")
     assert eng.impl == "tiered"
     assert eng._tier_plan is not None
