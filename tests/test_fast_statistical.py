@@ -112,6 +112,15 @@ def test_fast_statistical_parity_heavy(case):
     _assert_statistical_parity(ps, fs, side)
 
 
+def test_fast_statistical_parity_supercell():
+    """The sparse-grid super-cell engine through the same gate on a
+    SMALL-shaped workload (reference SMALL: 0.3 particles/cell,
+    CPD_2nd_delivery.pdf p.4) — the regime it exists for."""
+    seed, side, nc, n, steps = (50, 2000, 260, 20000, 50)
+    ps, fs = _run_both(seed, side, nc, n, steps, impl="supercell")
+    _assert_statistical_parity(ps, fs, side)
+
+
 @pytest.mark.parametrize("impl", ["banded", "tiered"])
 def test_fast_statistical_parity_clustered_impls(impl):
     """The clustered-grid engines through the same gate on the
