@@ -41,6 +41,7 @@ from particlesimulation_tpu.initializer import init_particles_host
 from particlesimulation_tpu.ops import binning, collisions, com, forces, integrate, stencil
 from particlesimulation_tpu.ops.pallas import cell_pairs
 from particlesimulation_tpu.state import SimState
+from particlesimulation_tpu.utils import compile_cache
 
 # Telemetry sentinel for a uint32 collision-rank domain overflow
 # (kmax ≥ 65535) — far above any legal tile-capacity retry value so the
@@ -495,6 +496,10 @@ class Engine:
                  dense_backend: str | None = None,
                  impl: str | None = None):
         self.config = config
+        # Persistent XLA compilation cache: identical (program, backend)
+        # re-runs skip the compile — minutes through the remote tunnel
+        # (utils/compile_cache.py; PSIM_COMPILE_CACHE=0 opts out).
+        compile_cache.enable()
         self.dense_backend = dense_backend or _dense_backend_default()
         self._impl_auto = False
         self._tier_plan = None  # (k_small, k_big, fatcap) for impl="tiered"
