@@ -3,7 +3,7 @@
 Usage mirrors the reference binary (reference serial/parsim.cpp:461-469):
 
     python -m particlesimulation_tpu <seed> <side_length> <grid_size> \
-        <n_particles> <n_timesteps> [--engine parity|fast] [--mesh N]
+        <n_particles> <n_timesteps> [--engine parity|fast] [--mesh N|RxC]
 
 stdout: two lines — particle 0's position at three decimals, then the
 cumulative collision count (serial/parsim.cpp:450-453). Wall time goes to
@@ -22,6 +22,7 @@ def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     engine_kind = "parity"
     mesh = 1
+    mesh_shape = ()
     impl = None
     pos_args = []
     i = 0
@@ -31,7 +32,15 @@ def main(argv: list[str] | None = None) -> int:
             engine_kind = argv[i + 1]
             i += 2
         elif a == "--mesh":
-            mesh = int(argv[i + 1])
+            # "N" = 1D row decomposition over N devices; "RxC" = 2D
+            # rectangular decomposition (parallel/sharded2d.py).
+            mesh_arg = argv[i + 1]
+            if "x" in mesh_arg:
+                d_r, d_c = (int(v) for v in mesh_arg.split("x", 1))
+                mesh_shape = (d_r, d_c)
+                mesh = d_r * d_c
+            else:
+                mesh = int(mesh_arg)
             i += 2
         elif a == "--impl":
             impl = argv[i + 1]
@@ -43,7 +52,7 @@ def main(argv: list[str] | None = None) -> int:
         print(
             "Usage: python -m particlesimulation_tpu <seed> <side_length> "
             "<grid_size> <n_particles> <n_timesteps> "
-            "[--engine parity|fast] [--mesh N] "
+            "[--engine parity|fast] [--mesh N|RxC] "
             "[--impl resident|dense|sweep]",
             file=sys.stderr,
         )
@@ -52,8 +61,10 @@ def main(argv: list[str] | None = None) -> int:
     if engine_kind == "parity":
         # Parity needs CPU + x64 + no-FMA codegen; may re-exec this process.
         from particlesimulation_tpu.utils import runtime
+        mesh_str = ("x".join(str(v) for v in mesh_shape)
+                    if mesh_shape else str(mesh))
         reexec_args = pos_args + ["--engine", engine_kind,
-                                  "--mesh", str(mesh)]
+                                  "--mesh", mesh_str]
         if impl is not None:
             reexec_args += ["--impl", impl]
         runtime.ensure_parity_runtime(
@@ -74,9 +85,12 @@ def main(argv: list[str] | None = None) -> int:
     precision = Precision.PARITY if engine_kind == "parity" else Precision.FAST
     config = SimConfig(seed=seed, side=side, ncside=ncside,
                        n_particles=n_particles, precision=precision,
-                       n_shards=mesh)
+                       n_shards=mesh, mesh_shape=mesh_shape)
 
-    if mesh > 1:
+    if mesh_shape and mesh > 1:
+        from particlesimulation_tpu.parallel.sharded2d import Sharded2DEngine
+        eng = Sharded2DEngine(config, mesh_shape)
+    elif mesh > 1:
         from particlesimulation_tpu.parallel.sharded import ShardedEngine
         # Parity precision always runs the sweep slab impl (ShardedEngine
         # forces it); in fast precision --impl selects resident|sweep.

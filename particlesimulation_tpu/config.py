@@ -55,6 +55,12 @@ class SimConfig:
     shard_capacity: int = 0
     # Per-step migration buffer entries per shard; 0 = auto.
     migration_capacity: int = 0
+    # Optional 2D mesh layout (d_rows, d_cols) for the rectangular
+    # decomposition (parallel/sharded2d.py). Empty = 1D row decomposition.
+    # Must multiply to n_shards; each factor must be <= ncside. The
+    # reference is 1D-only (its report picks rows for simplicity,
+    # CPD_2nd_delivery.pdf §2.1); the 2D mesh is the TPU-torus shape.
+    mesh_shape: tuple = ()
     # Optional census-planned shard row boundaries (first owned global row
     # per shard, ascending, starting at 0). Empty = the balanced uneven
     # split below. Clustered (normal-mode blob) workloads concentrate
@@ -82,7 +88,20 @@ class SimConfig:
             raise ValueError("n_particles must be >= 1")
         if self.side <= 0:
             raise ValueError("side must be > 0")
-        if self.n_shards > self.ncside:
+        if self.mesh_shape:
+            ms = tuple(int(v) for v in self.mesh_shape)
+            if len(ms) != 2 or ms[0] < 1 or ms[1] < 1:
+                raise ValueError(f"mesh_shape {ms} must be (d_rows, d_cols)")
+            if ms[0] * ms[1] != self.n_shards:
+                raise ValueError(
+                    f"mesh_shape {ms} has {ms[0] * ms[1]} devices but "
+                    f"n_shards is {self.n_shards}")
+            if ms[0] > self.ncside or ms[1] > self.ncside:
+                raise ValueError(
+                    f"mesh_shape {ms} needs at least one grid row and "
+                    f"column per shard (ncside={self.ncside})")
+            object.__setattr__(self, "mesh_shape", ms)
+        elif self.n_shards > self.ncside:
             raise ValueError(
                 f"n_shards ({self.n_shards}) must be <= ncside "
                 f"({self.ncside}): the row-block decomposition needs at "

@@ -63,3 +63,24 @@ def test_cli_rejects_unknown_impl():
                   "--mesh", "3", "--impl", "bogus"])
     assert r.returncode != 0
     assert "bogus" in (r.stderr + r.stdout)
+
+
+def test_cli_mesh2d_matches_single():
+    """--mesh RxC selects the 2D rectangular decomposition
+    (parallel/sharded2d.py); parity output must equal the 1-chip run
+    (golden vector N1, openMP/new_tests.sh:31)."""
+    base = ["5893", "0.05", "4", "16", "10"]
+    single = _run_cli(base)
+    mesh = _run_cli(base + ["--mesh", "2x4"])
+    assert mesh.returncode == 0, mesh.stderr
+    assert single.stdout == mesh.stdout
+
+
+def test_cli_mesh2d_fast_golden_vector():
+    base = ["5893", "0.05", "3", "10", "10", "--engine", "fast",
+            "--mesh", "3x2"]
+    r = _run_cli(base, extra_env={
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=8"})
+    assert r.returncode == 0, r.stderr
+    assert r.stdout.strip().splitlines() == ["0.002 0.035", "2"]
