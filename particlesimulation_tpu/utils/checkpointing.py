@@ -30,19 +30,22 @@ def save_state(path: str, state) -> None:
 
 
 def save_sharded_state(path: str, state: ShardedState,
-                       n_shards: int, row_starts: tuple = ()) -> None:
+                       n_shards: int, row_starts: tuple = (),
+                       mesh_shape: tuple = ()) -> None:
     """Serialize a ShardedState with its slab geometry.
 
-    ``n_shards`` (and ``row_starts`` when the decomposition is
-    census-weighted, parallel/balance.py) are recorded so
-    :func:`restore_sharded` can re-pack the flat (D*C,) slabs for a
-    different mesh width, capacity, or row decomposition — slab placement
-    encodes row ownership, so as-is placement is only legal when all
-    three match.
+    ``n_shards`` (plus ``row_starts`` when the decomposition is
+    census-weighted, parallel/balance.py, or ``mesh_shape`` when the state
+    came from the 2D rectangular engine, parallel/sharded2d.py) are
+    recorded so :func:`restore_sharded` can re-pack the flat (D*C,) slabs
+    for a different mesh geometry or capacity — slab placement encodes
+    cell ownership, so as-is placement is only legal when everything
+    matches.
     """
     arrs = {f: np.asarray(getattr(state, f)) for f in _SHARDED_FIELDS}
     arrs["n_shards"] = np.asarray(n_shards, np.int32)
     arrs["row_starts"] = np.asarray(row_starts, np.int32)
+    arrs["mesh_shape"] = np.asarray(mesh_shape, np.int32)
     np.savez_compressed(path, **arrs)
 
 
@@ -85,25 +88,35 @@ def restore_sharded(path: str, engine, dtype=None) -> ShardedState:
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from particlesimulation_tpu.parallel.sharded import AXIS
-
     z = np.load(path)
     d = engine.config.n_shards
     saved_shards = int(z["n_shards"]) if "n_shards" in z.files else None
     saved_starts = (tuple(int(r) for r in z["row_starts"])
                     if "row_starts" in z.files else ())
+    saved_mesh = (tuple(int(v) for v in z["mesh_shape"])
+                  if "mesh_shape" in z.files else ())
     total = z["x"].shape[0]
     cap = engine.capacity or engine.config.resolved_shard_capacity()
-    sh = NamedSharding(engine.mesh, P(AXIS))
+    # The 2D rectangular engine (parallel/sharded2d.py) shards over both
+    # mesh axes; the 1D engine over its single "rows" axis.
+    engine_mesh = tuple(getattr(engine.config, "mesh_shape", ()) or ())
+    if engine_mesh:
+        from particlesimulation_tpu.parallel.sharded2d import BOTH as _SPEC
+    else:
+        from particlesimulation_tpu.parallel.sharded import AXIS as _SPEC
+    sh = NamedSharding(engine.mesh, P(_SPEC))
     rep = NamedSharding(engine.mesh, P())
     dt = dtype or engine.dtype
 
-    # Slab placement encodes row ownership: as-is placement needs the
-    # same row decomposition too, else a balanced-boundary checkpoint
-    # restored under different boundaries puts particles on the wrong
-    # shard (the prologue would flag them as strays).
+    # Slab placement encodes cell ownership: as-is placement needs the
+    # same decomposition too (row boundaries for the 1D engine, the
+    # (rows, cols) aspect for the 2D one), else a checkpoint restored
+    # under different boundaries puts particles on the wrong shard (the
+    # prologue would flag them as strays).
     if (saved_shards == d and total == d * cap
-            and saved_starts == tuple(engine.config.row_starts)):
+            and saved_starts == tuple(getattr(engine.config, "row_starts",
+                                              ()) or ())
+            and saved_mesh == engine_mesh):
         def place(f, cast=None):
             a = z[f]
             return jax.device_put(

@@ -220,3 +220,63 @@ def test_config_mesh_shape_validation():
         SimConfig(**base, n_shards=10, mesh_shape=(5, 2))  # d_r > ncside
     cfg = SimConfig(**base, n_shards=8, mesh_shape=(2, 4))
     assert cfg.mesh_shape == (2, 4)
+
+
+@needs_mesh
+def test_sharded2d_checkpoint_resume_bit_exact(tmp_path):
+    """Save mid-run from the 2D engine, restore as-is, continue: the
+    resumed trajectory must equal the uninterrupted one bit for bit."""
+    from particlesimulation_tpu.utils import checkpointing
+
+    shape = (2, 4)
+    cfg = SimConfig(seed=17, side=0.12, ncside=8, n_particles=120,
+                    precision=Precision.PARITY, n_shards=8,
+                    mesh_shape=shape, shard_capacity=60,
+                    migration_capacity=60)
+    eng = Sharded2DEngine(cfg, shape)
+    s0 = eng.init_state()
+    full = eng.run(s0, 20)
+
+    mid = eng.run(s0, 8)
+    path = str(tmp_path / "ck2d.npz")
+    checkpointing.save_sharded_state(path, mid, n_shards=8,
+                                     mesh_shape=shape)
+    restored = checkpointing.restore_sharded(path, eng)
+    resumed = eng.run(restored, 12)
+
+    for f in ("x", "y", "vx", "vy", "m"):
+        np.testing.assert_array_equal(np.asarray(getattr(resumed, f)),
+                                      np.asarray(getattr(full, f)),
+                                      err_msg=f)
+    assert int(resumed.collisions) == int(full.collisions)
+
+
+@needs_mesh
+def test_sharded2d_checkpoint_cross_decomposition(tmp_path):
+    """A 1D-engine checkpoint restores into the 2D engine (repack path)
+    and continues to the same physics as the uninterrupted 1D run."""
+    from particlesimulation_tpu.parallel.sharded import ShardedEngine
+    from particlesimulation_tpu.utils import checkpointing
+
+    base = dict(seed=17, side=0.12, ncside=8, n_particles=120,
+                precision=Precision.PARITY)
+    e1 = ShardedEngine(SimConfig(**base, n_shards=4, shard_capacity=120,
+                                 migration_capacity=120))
+    s0 = e1.init_state()
+    full = e1.gather(e1.run(s0, 20))
+
+    mid = e1.run(s0, 8)
+    path = str(tmp_path / "ck1d.npz")
+    checkpointing.save_sharded_state(path, mid, n_shards=4,
+                                     row_starts=e1.config.row_starts)
+
+    shape = (2, 4)
+    e2 = Sharded2DEngine(
+        SimConfig(**base, n_shards=8, mesh_shape=shape, shard_capacity=120,
+                  migration_capacity=120), shape)
+    restored = checkpointing.restore_sharded(path, e2)
+    resumed = e2.gather(e2.run(restored, 12))
+
+    np.testing.assert_array_equal(resumed["pid"], full["pid"])
+    for f in ("x", "y", "m", "alive"):
+        np.testing.assert_array_equal(resumed[f], full[f], err_msg=f)
