@@ -46,7 +46,7 @@ def resolve_pair_impl(name: str | None = None):
     if name is None:
         name = os.environ.get("PSIM_PAIR_IMPL", "v2")
     table = {"v1": fused_pairs, "v2": fused_pairs_v2, "v3": fused_pairs_v3,
-             "v4": fused_pairs_v4}
+             "v4": fused_pairs_v4, "v5": fused_pairs_v5}
     fn = table.get(name)
     if fn is None:
         raise ValueError(
@@ -686,6 +686,201 @@ def fused_pairs_v4(xd, yd, mfd, alived, ncells: int, kcap: int, eps: float,
 
         fx0 = jnp.zeros_like(x)
         fx, fy = jax.lax.fori_loop(0, trips, force_body, (fx0, fx0))
+        return fx, fy, ft, cnt
+
+    ins = ((xd, yd, mfd, alived) + ((pid,) if pid is not None else ())
+           + ((sub,) if sub is not None else ()))
+    args = tuple(_blocked(a, cb) for a in ins)
+    fx, fy, ft, cnts = jax.lax.map(block, args)
+    return (fx.reshape(-1, kcap)[:ncells], fy.reshape(-1, kcap)[:ncells],
+            jnp.sum(cnts, dtype=jnp.int32), ft.reshape(-1, kcap)[:ncells])
+
+
+def fused_pairs_v5(xd, yd, mfd, alived, ncells: int, kcap: int, eps: float,
+                   collide: bool = True, cb: int = CELL_BLOCK, pid=None,
+                   ichunk: int = 32, sub=None):
+    """Newton's-3rd-law triangular pair pass (same contract as
+    fused_pairs_v2).
+
+    v2 enumerates every *ordered* pair: each receiver chunk sweeps the
+    full K partner axis, so each unordered pair is computed twice and
+    every sweep pays partner-axis padding out to kcap even when the
+    occupancy bound kb is lower. This variant sweeps (ti, tj) chunk
+    *tiles* with tj >= ti — the upper triangle — computing each unordered
+    pair once and accumulating the force to both endpoints with opposite
+    signs, the dual-update trick of the reference's inner loop
+    (serial/parsim.cpp:127-148: ``fx += ...; p2->fx -= ...``). Pair-slot
+    count falls from kb*kcap to ~kb^2/2 per cell (2.3x fewer at the
+    flagship shape: kb~140, kcap=160).
+
+    Extra costs taken in exchange: two read-modify-write slice updates
+    per tile instead of one full-width reduce, a diagonal-tile j>i mask,
+    and T(T+1)/2 smaller fori_loop bodies instead of T wide ones. The
+    hit-flag pass is triangular too; the rare collision-rank branch
+    (hit-gated, collisions per step << blocks per step) keeps v2's
+    chunked machinery. Collision outputs (count, ft) are bit-identical
+    to v2; forces differ only in f32 summation order.
+    """
+    cb = _eff_cb(cb, kcap)
+    g = jnp.float32(G)
+    eps2 = jnp.float32(eps) * jnp.float32(eps)
+    INF = jnp.int32(0x7FFFFFFF)
+    base = jnp.int32(kcap + 1)
+    ichunk = min(ichunk, kcap)
+    while kcap % ichunk:
+        ichunk //= 2
+    nb_i = -(-kcap // ichunk)
+
+    def block(args):
+        x, y, mf, alive = args[:4]
+        rest = list(args[4:])
+        pd = rest.pop(0) if pid is not None else None
+        sb = rest.pop(0) if sub is not None else None
+        lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+        used = (mf > 0.0) | (alive > 0)
+        kb = jnp.max(jnp.where(used, lane + 1, 0))
+        trips = jnp.minimum((kb + ichunk - 1) // ichunk, nb_i)
+
+        def islice(a, i0, width=ichunk):
+            return jax.lax.dynamic_slice_in_dim(a, i0, width, axis=1)
+
+        def tile_mask(i0, j0, shape):
+            """j > i (each unordered pair once; excludes self-pairs) plus
+            the same-cell label mask for super-cell rows."""
+            ii = jax.lax.broadcasted_iota(jnp.int32, shape, 1) + i0
+            jj = jax.lax.broadcasted_iota(jnp.int32, shape, 2) + j0
+            msk = jj > ii
+            if sb is not None:
+                msk = msk & (islice(sb, i0)[:, :, None]
+                             == islice(sb, j0)[:, None, :])
+            return msk
+
+        if collide:
+            # Triangular hit-flag sweep (the always-on cost).
+            def hit_outer(ti, anyhit):
+                i0 = ti * ichunk
+                xi = islice(x, i0)
+                yi = islice(y, i0)
+                ai = islice(alive, i0)
+
+                def hit_inner(tj, ah):
+                    j0 = tj * ichunk
+                    dx = islice(x, j0)[:, None, :] - xi[:, :, None]
+                    dy = islice(y, j0)[:, None, :] - yi[:, :, None]
+                    d2 = dx * dx + dy * dy
+                    pa = (ai[:, :, None] * islice(alive, j0)[:, None, :]) > 0
+                    hit = pa & (d2 < eps2) & tile_mask(i0, j0, d2.shape)
+                    return ah | jnp.any(hit)
+
+                return jax.lax.fori_loop(ti, trips, hit_inner, anyhit)
+
+            any_hit = jax.lax.fori_loop(0, trips, hit_outer,
+                                        jnp.bool_(False))
+
+            # Rare path: v2's chunked rank scan, verbatim semantics.
+            def same_cell(i0):
+                if sb is None:
+                    return None
+                return islice(sb, i0)[:, :, None] == sb[:, None, :]
+
+            def do_collide(_):
+                pr = (None if pd is None else _pid_ranks(pd, alive))
+
+                def cand_chunk(i0):
+                    xi = islice(x, i0)
+                    yi = islice(y, i0)
+                    ai = islice(alive, i0)
+                    dx = x[:, None, :] - xi[:, :, None]
+                    dy = y[:, None, :] - yi[:, :, None]
+                    d2 = dx * dx + dy * dy
+                    pa = (ai[:, :, None] * alive[:, None, :]) > 0
+                    ii = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1) + i0
+                    jj = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 2)
+                    hit = pa & (d2 < eps2) & (jj > ii)
+                    sc = same_cell(i0)
+                    if sc is not None:
+                        hit = hit & sc
+                    if pr is None:
+                        rank = ii * base + jj
+                    else:
+                        ri = islice(pr, i0)[:, :, None]
+                        rj = pr[:, None, :]
+                        rank = jnp.minimum(ri, rj) * base + jnp.maximum(ri,
+                                                                        rj)
+                    return jnp.where(hit, rank, INF), hit
+
+                def min_body(t, carry):
+                    fti, ftj = carry
+                    i0 = t * ichunk
+                    cand, _ = cand_chunk(i0)
+                    fti = jax.lax.dynamic_update_slice_in_dim(
+                        fti, jnp.min(cand, axis=2), i0, axis=1)
+                    ftj = jnp.minimum(ftj, jnp.min(cand, axis=1))
+                    return fti, ftj
+
+                ftINF = jnp.full(x.shape, INF, dtype=jnp.int32)
+                fti, ftj = jax.lax.fori_loop(0, trips, min_body,
+                                             (ftINF, ftINF))
+                ft = jnp.minimum(fti, ftj)
+
+                def cnt_body(t, cnt):
+                    i0 = t * ichunk
+                    cand, hit = cand_chunk(i0)
+                    fti_c = islice(ft, i0)
+                    fb = (hit & (fti_c[:, :, None] == cand)
+                          & (ft[:, None, :] == cand))
+                    return cnt + jnp.sum(fb, dtype=jnp.int32)
+
+                cnt = jax.lax.fori_loop(0, trips, cnt_body, jnp.int32(0))
+                return ft, cnt
+
+            def no_collide(_):
+                return jnp.full(x.shape, INF, dtype=jnp.int32), jnp.int32(0)
+
+            ft, cnt = jax.lax.cond(any_hit, do_collide, no_collide, None)
+            m_post = jnp.where(ft != INF, jnp.float32(0.0), mf)
+        else:
+            ft = jnp.full(x.shape, INF, dtype=jnp.int32)
+            cnt = jnp.int32(0)
+            m_post = mf
+
+        # Triangular N3L force sweep: each tile computes s.dx once and
+        # applies it +to the i-chunk rows, -to the j-chunk rows.
+        gm = g * m_post
+
+        def force_outer(ti, carry):
+            i0 = ti * ichunk
+            xi = islice(x, i0)
+            yi = islice(y, i0)
+            gmi = islice(gm, i0)
+
+            def force_inner(tj, carry):
+                fx, fy = carry
+                j0 = tj * ichunk
+                dx = islice(x, j0)[:, None, :] - xi[:, :, None]
+                dy = islice(y, j0)[:, None, :] - yi[:, :, None]
+                d2 = dx * dx + dy * dy
+                msk = (d2 > 0.0) & tile_mask(i0, j0, d2.shape)
+                inv = jnp.where(msk, jax.lax.rsqrt(jnp.where(msk, d2, 1.0)),
+                                0.0)
+                s = (gmi[:, :, None] * islice(m_post, j0)[:, None, :]
+                     * (inv * inv * inv))
+                sdx = s * dx
+                sdy = s * dy
+                fx = jax.lax.dynamic_update_slice_in_dim(
+                    fx, islice(fx, i0) + jnp.sum(sdx, axis=2), i0, axis=1)
+                fx = jax.lax.dynamic_update_slice_in_dim(
+                    fx, islice(fx, j0) - jnp.sum(sdx, axis=1), j0, axis=1)
+                fy = jax.lax.dynamic_update_slice_in_dim(
+                    fy, islice(fy, i0) + jnp.sum(sdy, axis=2), i0, axis=1)
+                fy = jax.lax.dynamic_update_slice_in_dim(
+                    fy, islice(fy, j0) - jnp.sum(sdy, axis=1), j0, axis=1)
+                return fx, fy
+
+            return jax.lax.fori_loop(ti, trips, force_inner, carry)
+
+        z = jnp.zeros_like(x)
+        fx, fy = jax.lax.fori_loop(0, trips, force_outer, (z, z))
         return fx, fy, ft, cnt
 
     ins = ((xd, yd, mfd, alived) + ((pid,) if pid is not None else ())

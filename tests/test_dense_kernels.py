@@ -195,3 +195,77 @@ def test_fused_pairs_v4_matches_v2_semantics():
     # Cancellation amplification ~ |xl|/d ULPs; on this config the
     # near-pair error stays under 1e-3 of the max force (documented).
     assert np.abs(f4 - f2).max() <= 1e-3 * scale
+
+
+def test_fused_pairs_v5_equals_v2():
+    """Triangular N3L pass: identical collision outputs (count, ft) and
+    forces equal to v2 up to f32 summation order — each pair's term is the
+    bitwise-same expression (negation/multiplication are exact in IEEE),
+    only the reduction tree differs."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from particlesimulation_tpu.config import EPSILON
+    from particlesimulation_tpu.ops import dense_xla
+
+    rng = np.random.default_rng(11)
+    ncells, kcap = 37, 16
+    for trial, eps_scale in enumerate((1.0, 50.0)):  # few vs many hits
+        occ = rng.integers(0, kcap + 1, ncells)
+        xd = np.zeros((ncells, kcap), np.float32)
+        yd = np.zeros((ncells, kcap), np.float32)
+        md = np.zeros((ncells, kcap), np.float32)
+        ad = np.zeros((ncells, kcap), np.int32)
+        pd = np.zeros((ncells, kcap), np.int32)
+        sb = np.zeros((ncells, kcap), np.int32)
+        nxt = 0
+        for c in range(ncells):
+            k = occ[c]
+            xd[c, :k] = rng.uniform(0, 0.02, k)
+            yd[c, :k] = rng.uniform(0, 0.02, k)
+            md[c, :k] = rng.uniform(0.5, 2.0, k)
+            ad[c, :k] = (rng.uniform(size=k) > 0.2).astype(np.int32)
+            perm = rng.permutation(k)
+            pd[c, :k] = nxt + perm
+            nxt += k
+            sb[c, :k] = rng.integers(0, 3, k)  # super-cell labels
+        args = (jnp.asarray(xd), jnp.asarray(yd), jnp.asarray(md),
+                jnp.asarray(ad))
+        eps = EPSILON * eps_scale
+        for pid in (None, jnp.asarray(pd)):
+            for sub in (None, jnp.asarray(sb)):
+                for collide in (True, False):
+                    r2 = dense_xla.fused_pairs_v2(
+                        *args, ncells, kcap, eps, collide=collide, cb=8,
+                        pid=pid, ichunk=4, sub=sub)
+                    r5 = dense_xla.fused_pairs_v5(
+                        *args, ncells, kcap, eps, collide=collide, cb=8,
+                        pid=pid, ichunk=4, sub=sub)
+                    msg = (f"trial={trial} collide={collide} "
+                           f"pid={pid is not None} sub={sub is not None}")
+                    assert int(r2[2]) == int(r5[2]), "count " + msg
+                    np.testing.assert_array_equal(np.asarray(r2[3]),
+                                                  np.asarray(r5[3]),
+                                                  err_msg="ft " + msg)
+                    for a, b, name in zip(r2[:2], r5[:2], ("fx", "fy")):
+                        np.testing.assert_allclose(
+                            np.asarray(a), np.asarray(b),
+                            rtol=2e-5, atol=1e-12,
+                            err_msg="v5 " + name + " " + msg)
+
+
+def test_engine_runs_with_v5_pair_impl(monkeypatch):
+    """PSIM_PAIR_IMPL=v5 end-to-end through the resident engine: golden
+    vector N1 (openMP/new_tests.sh:31) must come out exactly."""
+    import numpy as np
+
+    from particlesimulation_tpu.config import Precision, SimConfig
+    from particlesimulation_tpu.engine import Engine
+
+    monkeypatch.setenv("PSIM_PAIR_IMPL", "v5")
+    cfg = SimConfig(seed=5893, side=0.05, ncside=3, n_particles=10,
+                    precision=Precision.FAST)
+    eng = Engine(cfg, impl="resident", dense_backend="xla")
+    out = eng.run(eng.init_state(), 10)
+    x, y, c = eng.result(out)
+    assert (round(x, 3), round(y, 3), c) == (0.002, 0.035, 2)

@@ -55,6 +55,10 @@ if [ "$MESH_SWEEP" = "1" ]; then
     for mesh in 2 "$nc"; do
       [ "$mesh" -le "$nc" ] && RUNS+=("$vec:--mesh $mesh")
     done
+    # 2D rectangular decomposition (parallel/sharded2d.py): both axes
+    # split, the analog of running the reference harness with a 2D
+    # process grid (which its 1D-only MPI code cannot do).
+    [ "$nc" -ge 2 ] && RUNS+=("$vec:--mesh 2x2")
   done
 else
   for vec in "${VECTORS[@]}"; do RUNS+=("$vec:"); done
