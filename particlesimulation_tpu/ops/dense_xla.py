@@ -698,38 +698,55 @@ def fused_pairs_v4(xd, yd, mfd, alived, ncells: int, kcap: int, eps: float,
 
 def fused_pairs_v5(xd, yd, mfd, alived, ncells: int, kcap: int, eps: float,
                    collide: bool = True, cb: int = CELL_BLOCK, pid=None,
-                   ichunk: int = 32, sub=None):
+                   ichunk: int = 32, jchunk: int = 128, sub=None):
     """Newton's-3rd-law triangular pair pass (same contract as
     fused_pairs_v2).
 
     v2 enumerates every *ordered* pair: each receiver chunk sweeps the
-    full K partner axis, so each unordered pair is computed twice and
-    every sweep pays partner-axis padding out to kcap even when the
-    occupancy bound kb is lower. This variant sweeps (ti, tj) chunk
-    *tiles* with tj >= ti — the upper triangle — computing each unordered
-    pair once and accumulating the force to both endpoints with opposite
-    signs, the dual-update trick of the reference's inner loop
-    (serial/parsim.cpp:127-148: ``fx += ...; p2->fx -= ...``). Pair-slot
-    count falls from kb*kcap to ~kb^2/2 per cell (2.3x fewer at the
-    flagship shape: kb~140, kcap=160).
+    full K partner axis, so each unordered pair is computed twice. This
+    variant sweeps (ichunk x jchunk) chunk *tiles* restricted to the
+    upper triangle (inner loop starts at the j-tile containing i0),
+    computing each unordered pair once and accumulating the force to both
+    endpoints with opposite signs - the dual-update trick of the
+    reference's inner loop (serial/parsim.cpp:127-148:
+    ``fx += ...; p2->fx -= ...``). Pair-slot count falls from kb*kcap
+    toward ~kb^2/2 per cell as kcap grows past jchunk.
 
-    Extra costs taken in exchange: two read-modify-write slice updates
-    per tile instead of one full-width reduce, a diagonal-tile j>i mask,
-    and T(T+1)/2 smaller fori_loop bodies instead of T wide ones. The
-    hit-flag pass is triangular too; the rare collision-rank branch
-    (hit-gated, collisions per step << blocks per step) keeps v2's
-    chunked machinery. Collision outputs (count, ft) are bit-identical
-    to v2; forces differ only in f32 summation order.
+    Tiles are asymmetric on purpose: the partner (minor/lane) axis stays
+    jchunk=128 wide so the VPU runs full lanes - the first (symmetric
+    32x32) cut of this variant measured only 1.11x on the banded UNEVEN
+    shape because 32-wide tiles idle 3/4 of the lanes. The slot axis is
+    padded to a jchunk multiple with inert slots (m=0, alive=0: no force
+    terms, no hits). Each pair's term is the bitwise-same expression as
+    v2's (negation/multiplication are exact), so collision outputs
+    (count, ft) are bit-identical and forces differ only in f32 summation
+    order. The rare collision-rank branch (hit-gated) keeps v2's chunked
+    machinery. Exact semantics - unlike the MXU v4 form, this variant can
+    be a default where it wins.
     """
     cb = _eff_cb(cb, kcap)
     g = jnp.float32(G)
     eps2 = jnp.float32(eps) * jnp.float32(eps)
     INF = jnp.int32(0x7FFFFFFF)
-    base = jnp.int32(kcap + 1)
-    ichunk = min(ichunk, kcap)
-    while kcap % ichunk:
+    jchunk = max(ichunk, jchunk)
+    Kp = -(-kcap // jchunk) * jchunk
+    ichunk = min(ichunk, Kp)
+    while Kp % ichunk:
         ichunk //= 2
-    nb_i = -(-kcap // ichunk)
+    nb_i = Kp // ichunk
+    nb_j = Kp // jchunk
+    # Hits never involve padded slots (alive=0), so rank components stay
+    # below kcap and v2's base keeps ft values bit-identical across Kp.
+    base = jnp.int32(kcap + 1)
+
+    def padk(a):
+        if a is None or Kp == kcap:
+            return a
+        pad = jnp.zeros((a.shape[0], Kp - kcap), a.dtype)
+        return jnp.concatenate([a, pad], axis=1)
+
+    xd, yd, mfd = padk(xd), padk(yd), padk(mfd)
+    alived, pid, sub = padk(alived), padk(pid), padk(sub)
 
     def block(args):
         x, y, mf, alive = args[:4]
@@ -739,7 +756,8 @@ def fused_pairs_v5(xd, yd, mfd, alived, ncells: int, kcap: int, eps: float,
         lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
         used = (mf > 0.0) | (alive > 0)
         kb = jnp.max(jnp.where(used, lane + 1, 0))
-        trips = jnp.minimum((kb + ichunk - 1) // ichunk, nb_i)
+        trips_i = jnp.minimum((kb + ichunk - 1) // ichunk, nb_i)
+        trips_j = jnp.minimum((kb + jchunk - 1) // jchunk, nb_j)
 
         def islice(a, i0, width=ichunk):
             return jax.lax.dynamic_slice_in_dim(a, i0, width, axis=1)
@@ -752,7 +770,7 @@ def fused_pairs_v5(xd, yd, mfd, alived, ncells: int, kcap: int, eps: float,
             msk = jj > ii
             if sb is not None:
                 msk = msk & (islice(sb, i0)[:, :, None]
-                             == islice(sb, j0)[:, None, :])
+                             == islice(sb, j0, jchunk)[:, None, :])
             return msk
 
         if collide:
@@ -764,17 +782,19 @@ def fused_pairs_v5(xd, yd, mfd, alived, ncells: int, kcap: int, eps: float,
                 ai = islice(alive, i0)
 
                 def hit_inner(tj, ah):
-                    j0 = tj * ichunk
-                    dx = islice(x, j0)[:, None, :] - xi[:, :, None]
-                    dy = islice(y, j0)[:, None, :] - yi[:, :, None]
+                    j0 = tj * jchunk
+                    dx = islice(x, j0, jchunk)[:, None, :] - xi[:, :, None]
+                    dy = islice(y, j0, jchunk)[:, None, :] - yi[:, :, None]
                     d2 = dx * dx + dy * dy
-                    pa = (ai[:, :, None] * islice(alive, j0)[:, None, :]) > 0
+                    pa = (ai[:, :, None]
+                          * islice(alive, j0, jchunk)[:, None, :]) > 0
                     hit = pa & (d2 < eps2) & tile_mask(i0, j0, d2.shape)
                     return ah | jnp.any(hit)
 
-                return jax.lax.fori_loop(ti, trips, hit_inner, anyhit)
+                return jax.lax.fori_loop(i0 // jchunk, trips_j, hit_inner,
+                                         anyhit)
 
-            any_hit = jax.lax.fori_loop(0, trips, hit_outer,
+            any_hit = jax.lax.fori_loop(0, trips_i, hit_outer,
                                         jnp.bool_(False))
 
             # Rare path: v2's chunked rank scan, verbatim semantics.
@@ -819,7 +839,7 @@ def fused_pairs_v5(xd, yd, mfd, alived, ncells: int, kcap: int, eps: float,
                     return fti, ftj
 
                 ftINF = jnp.full(x.shape, INF, dtype=jnp.int32)
-                fti, ftj = jax.lax.fori_loop(0, trips, min_body,
+                fti, ftj = jax.lax.fori_loop(0, trips_i, min_body,
                                              (ftINF, ftINF))
                 ft = jnp.minimum(fti, ftj)
 
@@ -831,7 +851,7 @@ def fused_pairs_v5(xd, yd, mfd, alived, ncells: int, kcap: int, eps: float,
                           & (ft[:, None, :] == cand))
                     return cnt + jnp.sum(fb, dtype=jnp.int32)
 
-                cnt = jax.lax.fori_loop(0, trips, cnt_body, jnp.int32(0))
+                cnt = jax.lax.fori_loop(0, trips_i, cnt_body, jnp.int32(0))
                 return ft, cnt
 
             def no_collide(_):
@@ -856,39 +876,45 @@ def fused_pairs_v5(xd, yd, mfd, alived, ncells: int, kcap: int, eps: float,
 
             def force_inner(tj, carry):
                 fx, fy = carry
-                j0 = tj * ichunk
-                dx = islice(x, j0)[:, None, :] - xi[:, :, None]
-                dy = islice(y, j0)[:, None, :] - yi[:, :, None]
+                j0 = tj * jchunk
+                dx = islice(x, j0, jchunk)[:, None, :] - xi[:, :, None]
+                dy = islice(y, j0, jchunk)[:, None, :] - yi[:, :, None]
                 d2 = dx * dx + dy * dy
                 msk = (d2 > 0.0) & tile_mask(i0, j0, d2.shape)
                 inv = jnp.where(msk, jax.lax.rsqrt(jnp.where(msk, d2, 1.0)),
                                 0.0)
-                s = (gmi[:, :, None] * islice(m_post, j0)[:, None, :]
+                s = (gmi[:, :, None]
+                     * islice(m_post, j0, jchunk)[:, None, :]
                      * (inv * inv * inv))
                 sdx = s * dx
                 sdy = s * dy
                 fx = jax.lax.dynamic_update_slice_in_dim(
                     fx, islice(fx, i0) + jnp.sum(sdx, axis=2), i0, axis=1)
                 fx = jax.lax.dynamic_update_slice_in_dim(
-                    fx, islice(fx, j0) - jnp.sum(sdx, axis=1), j0, axis=1)
+                    fx, islice(fx, j0, jchunk) - jnp.sum(sdx, axis=1), j0,
+                    axis=1)
                 fy = jax.lax.dynamic_update_slice_in_dim(
                     fy, islice(fy, i0) + jnp.sum(sdy, axis=2), i0, axis=1)
                 fy = jax.lax.dynamic_update_slice_in_dim(
-                    fy, islice(fy, j0) - jnp.sum(sdy, axis=1), j0, axis=1)
+                    fy, islice(fy, j0, jchunk) - jnp.sum(sdy, axis=1), j0,
+                    axis=1)
                 return fx, fy
 
-            return jax.lax.fori_loop(ti, trips, force_inner, carry)
+            return jax.lax.fori_loop(i0 // jchunk, trips_j, force_inner,
+                                     carry)
 
         z = jnp.zeros_like(x)
-        fx, fy = jax.lax.fori_loop(0, trips, force_outer, (z, z))
+        fx, fy = jax.lax.fori_loop(0, trips_i, force_outer, (z, z))
         return fx, fy, ft, cnt
 
     ins = ((xd, yd, mfd, alived) + ((pid,) if pid is not None else ())
            + ((sub,) if sub is not None else ()))
     args = tuple(_blocked(a, cb) for a in ins)
     fx, fy, ft, cnts = jax.lax.map(block, args)
-    return (fx.reshape(-1, kcap)[:ncells], fy.reshape(-1, kcap)[:ncells],
-            jnp.sum(cnts, dtype=jnp.int32), ft.reshape(-1, kcap)[:ncells])
+    return (fx.reshape(-1, Kp)[:ncells, :kcap],
+            fy.reshape(-1, Kp)[:ncells, :kcap],
+            jnp.sum(cnts, dtype=jnp.int32),
+            ft.reshape(-1, Kp)[:ncells, :kcap])
 
 
 def monopole_tile_forces(xd, yd, mfd, ml_t, mxl_t, myl_t):
