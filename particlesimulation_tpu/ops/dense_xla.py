@@ -698,9 +698,9 @@ def fused_pairs_v4(xd, yd, mfd, alived, ncells: int, kcap: int, eps: float,
 
 def fused_pairs_v5(xd, yd, mfd, alived, ncells: int, kcap: int, eps: float,
                    collide: bool = True, cb: int = CELL_BLOCK, pid=None,
-                   ichunk: int = 32, jchunk: int = 128, sub=None):
+                   ichunk: int = 32, jchunk: int | None = None, sub=None):
     """Newton's-3rd-law triangular pair pass (same contract as
-    fused_pairs_v2).
+    fused_pairs_v2). MEASURED NEGATIVE RESULT - selectable, not default.
 
     v2 enumerates every *ordered* pair: each receiver chunk sweeps the
     full K partner axis, so each unordered pair is computed twice. This
@@ -712,23 +712,32 @@ def fused_pairs_v5(xd, yd, mfd, alived, ncells: int, kcap: int, eps: float,
     ``fx += ...; p2->fx -= ...``). Pair-slot count falls from kb*kcap
     toward ~kb^2/2 per cell as kcap grows past jchunk.
 
-    Tiles are asymmetric on purpose: the partner (minor/lane) axis stays
-    jchunk=128 wide so the VPU runs full lanes - the first (symmetric
-    32x32) cut of this variant measured only 1.11x on the banded UNEVEN
-    shape because 32-wide tiles idle 3/4 of the lanes. The slot axis is
-    padded to a jchunk multiple with inert slots (m=0, alive=0: no force
-    terms, no hits). Each pair's term is the bitwise-same expression as
+    The slot axis pads to a jchunk multiple with inert slots (m=0,
+    alive=0: no force terms, no hits); jchunk=None keeps tiles symmetric
+    (jchunk=ichunk). Each pair's term is the bitwise-same expression as
     v2's (negation/multiplication are exact), so collision outputs
     (count, ft) are bit-identical and forces differ only in f32 summation
     order. The rare collision-rank branch (hit-gated) keeps v2's chunked
-    machinery. Exact semantics - unlike the MXU v4 form, this variant can
-    be a default where it wins.
+    machinery.
+
+    Silicon verdict (v5e, 2026-08-18, PERF.md "N3L triangular pair
+    pass"): the halved pair arithmetic LOSES to v2 everywhere that
+    matters - symmetric 32x32 tiles: flagship ~4.9 vs 4.7 ms, banded
+    UNEVEN 51.3 vs 56.8 (the one win, 1.11x), MEDIUM 139.9 vs 43.5;
+    lane-wide 32x128 tiles: banded 66.4, MEDIUM 89.9. The dual-sided
+    accumulation's four read-modify-write slice updates per tile force
+    the (cb, K) force carries to materialize every iteration, where v2's
+    single full-width reduce fuses into one pass - a third independent
+    confirmation (after the Pallas port and the v3 restructure) that the
+    pair pass is bound by XLA transport/fusion structure, not FLOPs.
+    Saved FLOPs were the cheap part. Kept selectable (PSIM_PAIR_IMPL=v5)
+    with correctness pinned; v2 stays the default.
     """
     cb = _eff_cb(cb, kcap)
     g = jnp.float32(G)
     eps2 = jnp.float32(eps) * jnp.float32(eps)
     INF = jnp.int32(0x7FFFFFFF)
-    jchunk = max(ichunk, jchunk)
+    jchunk = ichunk if jchunk is None else max(ichunk, jchunk)
     Kp = -(-kcap // jchunk) * jchunk
     ichunk = min(ichunk, Kp)
     while Kp % ichunk:
