@@ -164,3 +164,21 @@ def test_bench_fn_returns_positive():
     import jax.numpy as jnp
     f = lambda v: v * 2.0
     assert profiling.bench_fn(f, jnp.ones(16), warmup=1, iters=3) >= 0.0
+
+
+def test_compile_cache_enable(monkeypatch, tmp_path):
+    """enable() is idempotent, honors the opt-out, and points JAX at the
+    configured directory."""
+    import jax
+
+    from particlesimulation_tpu.utils import compile_cache
+
+    monkeypatch.setenv("PSIM_COMPILE_CACHE_DIR", str(tmp_path / "cc"))
+    monkeypatch.setattr(compile_cache, "_done", False)
+    assert compile_cache.enable() is True
+    assert compile_cache.enable() is True  # idempotent
+    assert jax.config.jax_compilation_cache_dir == str(tmp_path / "cc")
+
+    monkeypatch.setenv("PSIM_COMPILE_CACHE", "0")
+    monkeypatch.setattr(compile_cache, "_done", False)
+    assert compile_cache.enable() is False
