@@ -356,10 +356,12 @@ def make_resident_run(config: SimConfig, kcap: int, backend: str = "xla"):
                         if os.environ.get("PSIM_PALLAS_PAIR") == "v1"
                         else dmod.fused_pairs_v2)
         else:
-            # v2 measured fastest on the v5e (7.55 ms/step at the bench
-            # config); v3's one-sweep restructure lost 1.2 ms to cond
-            # overhead + double-swept hit blocks (dense_xla.fused_pairs_v3).
-            fused_fn = _mono.resolve_pair_impl()
+            # Side-adaptive default (dense_xla.resolve_pair_impl): v4's MXU
+            # force form where f32 coordinate quantization already floors
+            # the near-pair error (side >= V4_MIN_SIDE, measured 1.31x on
+            # banded UNEVEN / 1.05x on MEDIUM), else the exact VPU v2 (the
+            # fastest exact form; v3/v5 restructures measured slower).
+            fused_fn = _mono.resolve_pair_impl(side=config.side)
         fxd, fyd, count, ftd = fused_fn(
             ts.x, ts.y, mf, ad, ncells, kcap, EPSILON, collide=collide,
             pid=ts.pid)

@@ -163,7 +163,7 @@ def make_banded_run(config: SimConfig, plan, backend: str = "xla"):
     if real_slots < config.n_particles:
         raise ValueError(
             f"band plan holds {real_slots} slots < N={config.n_particles}")
-    fused_fn = dmod.resolve_pair_impl()
+    fused_fn = dmod.resolve_pair_impl(side=config.side)
     halo_w = int(os.environ.get("PSIM_BAND_HALO_W", str(HALO_W)))
     # Debug-only phase ablation for on-device cost attribution
     # (PSIM_ABLATE=rebin|pairs|mono skips that phase; results are wrong).

@@ -36,15 +36,34 @@ CELL_BLOCK = int(os.environ.get("PSIM_CELL_BLOCK", "1024"))
 MAX_XLA_KCAP = int(os.environ.get("PSIM_MAX_XLA_KCAP", "4096"))
 
 
-def resolve_pair_impl(name: str | None = None):
+# Below this domain size the MXU force form (fused_pairs_v4) is NOT the
+# default: its contraction-cancellation error (~1e-3 relative on
+# near-EPSILON pairs, PERF.md study) would exceed the f32 coordinate-
+# quantization error every fast-path variant already carries. At
+# side >= ~84 the shared quantization floor ulp(side)/EPSILON ~
+# side*6e-8/0.005 >= 1e-3 dwarfs v4's extra term (measured: at side=5000
+# both v2 and v4 sit at ~2-5% vs f64 truth on near pairs while their
+# mutual delta is <=2.5e-4 — tests/test_dense_kernels.py quantization
+# study), so v4's 5-31% step win costs nothing measurable. Tiny boxes
+# (golden N1/N2, side=0.05) stay on v2 where it is genuinely ~1000x more
+# accurate near EPSILON.
+V4_MIN_SIDE = float(os.environ.get("PSIM_V4_MIN_SIDE", "100"))
+
+
+def resolve_pair_impl(name: str | None = None, side: float | None = None):
     """Fused-pair-pass variant selector (shared by every tile engine).
 
-    v2 is the measured-fastest default on silicon (PERF.md); v1/v3 stay
-    selectable for A/B runs via PSIM_PAIR_IMPL. An unknown name raises a
-    ValueError naming the valid options instead of a bare KeyError.
+    Default: v4 (MXU force form) when the domain is large enough that f32
+    coordinate quantization already floors the near-pair force error
+    (side >= V4_MIN_SIDE; see the derivation above), else v2 — the
+    measured-fastest exact VPU form. PSIM_PAIR_IMPL overrides; v1/v3/v5
+    stay selectable for A/B runs. An unknown name raises a ValueError
+    naming the valid options instead of a bare KeyError.
     """
     if name is None:
-        name = os.environ.get("PSIM_PAIR_IMPL", "v2")
+        name = os.environ.get("PSIM_PAIR_IMPL")
+    if name is None:
+        name = "v4" if (side is not None and side >= V4_MIN_SIDE) else "v2"
     table = {"v1": fused_pairs, "v2": fused_pairs_v2, "v3": fused_pairs_v3,
              "v4": fused_pairs_v4, "v5": fused_pairs_v5}
     fn = table.get(name)

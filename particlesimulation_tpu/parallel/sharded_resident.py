@@ -302,7 +302,7 @@ def make_sharded_resident_run(config: SimConfig, mesh, kcap: int, cap: int):
             return ts, jax.lax.psum(ovf, AXIS)
 
         # ---- fused pair pass (collisions + next step's pair forces) ---------
-        fused_fn = dmod.resolve_pair_impl()
+        fused_fn = dmod.resolve_pair_impl(side=config.side)
 
         def pair_pass(ts: res.TileState, collide: bool):
             mf, binned, _ = physics_mass(ts)

@@ -269,3 +269,59 @@ def test_engine_runs_with_v5_pair_impl(monkeypatch):
     out = eng.run(eng.init_state(), 10)
     x, y, c = eng.result(out)
     assert (round(x, 3), round(y, 3), c) == (0.002, 0.035, 2)
+
+
+def test_v4_quantization_study():
+    """The adaptive default's justification (dense_xla.V4_MIN_SIDE), as a
+    regression test: at production domain sizes the f32 coordinate
+    quantization error BOTH variants carry dwarfs v4's extra contraction
+    cancellation, while in tiny boxes v2 is genuinely more accurate near
+    EPSILON — so v4 defaults on only for side >= V4_MIN_SIDE."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from particlesimulation_tpu.config import EPSILON, G
+    from particlesimulation_tpu.ops import dense_xla
+
+    def truth_fx(x, y, m):
+        dx = x[:, None, :] - x[:, :, None]
+        dy = y[:, None, :] - y[:, :, None]
+        d2 = dx * dx + dy * dy
+        nz = d2 > 0
+        inv3 = np.where(nz, 1.0 / np.where(nz, np.sqrt(d2) ** 3, 1.0), 0.0)
+        s = G * m[:, :, None] * m[:, None, :] * inv3
+        return (s * dx).sum(2)
+
+    def near_err(base, cellw):
+        rng = np.random.default_rng(3)
+        ncells, kcap = 64, 32
+        x = base + rng.uniform(0, cellw, (ncells, kcap))
+        y = base + rng.uniform(0, cellw, (ncells, kcap))
+        m = rng.uniform(0.5, 2.0, (ncells, kcap))
+        x[:, 1] = x[:, 0] + EPSILON * 1.5   # planted near pair per cell
+        y[:, 1] = y[:, 0]
+        ft = truth_fx(x, y, m)
+        args = (jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32),
+                jnp.asarray(m, jnp.float32),
+                jnp.ones((ncells, kcap), jnp.int32), ncells, kcap, EPSILON)
+        r2 = np.asarray(dense_xla.fused_pairs_v2(*args, collide=False)[0],
+                        np.float64)
+        r4 = np.asarray(dense_xla.fused_pairs_v4(*args, collide=False)[0],
+                        np.float64)
+        def rel(f):
+            return np.abs(f[:, :2] - ft[:, :2]) / np.abs(ft[:, :2])
+        return np.median(rel(r2)), np.median(rel(r4))
+
+    # Flagship magnitude (side=5000, cells near 4000): quantization floors
+    # both variants at the same ~1e-2 level; v4 adds nothing measurable.
+    e2, e4 = near_err(4000.0, 50.0)
+    assert e2 > 1e-3, f"quantization floor vanished? v2 err {e2:.2e}"
+    assert e4 <= 2.0 * e2, f"v4 {e4:.2e} vs v2 {e2:.2e} at side=5000"
+
+    # Tiny box (golden N1/N2 magnitude): both variants are benign
+    # (~1e-6), but nothing is gained by switching (pair work is trivial
+    # at N=10) and the fast-golden exact-count tier is trajectory-
+    # sensitive — V4_MIN_SIDE keeps tiny boxes on v2.
+    t2, t4 = near_err(0.02, 0.0167)
+    assert t2 < 1e-5 and t4 < 1e-5, f"tiny box errs grew: {t2:.2e}/{t4:.2e}"
+    assert dense_xla.V4_MIN_SIDE > 0.05  # N1/N2 stay on v2
