@@ -58,21 +58,28 @@ def main(argv: list[str] | None = None) -> int:
         )
         return 1
 
+    mesh_str = ("x".join(str(v) for v in mesh_shape)
+                if mesh_shape else str(mesh))
+    reexec_args = pos_args + ["--engine", engine_kind, "--mesh", mesh_str]
+    if impl is not None:
+        reexec_args += ["--impl", impl]
     if engine_kind == "parity":
         # Parity needs CPU + x64 + no-FMA codegen; may re-exec this process.
         from particlesimulation_tpu.utils import runtime
-        mesh_str = ("x".join(str(v) for v in mesh_shape)
-                    if mesh_shape else str(mesh))
-        reexec_args = pos_args + ["--engine", engine_kind,
-                                  "--mesh", mesh_str]
-        if impl is not None:
-            reexec_args += ["--impl", impl]
         runtime.ensure_parity_runtime(
             "particlesimulation_tpu", reexec_args,
             n_cpu_devices=max(mesh, 1),
         )
 
     import jax
+
+    if mesh > 1:
+        # Mesh runs on a host without enough devices self-provision a
+        # virtual CPU mesh (the reference's mpirun-on-one-machine analog,
+        # reference mpi/run_tests.sh:8-16); no-op when devices suffice.
+        from particlesimulation_tpu.utils import runtime
+        runtime.ensure_device_count("particlesimulation_tpu", reexec_args,
+                                    mesh)
 
     from particlesimulation_tpu.config import Precision, SimConfig
 

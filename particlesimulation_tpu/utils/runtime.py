@@ -57,3 +57,35 @@ def ensure_parity_runtime(module: str, args: list[str],
         return
     env = {**os.environ, **parity_env(n_cpu_devices), _GUARD: "1"}
     os.execvpe(sys.executable, [sys.executable, "-m", module] + list(args), env)
+
+
+_COUNT_GUARD = "PSIM_DEVCOUNT_REEXEC"
+
+
+def ensure_device_count(module: str, args: list[str], n: int) -> None:
+    """Re-exec onto an ``n``-device virtual CPU mesh when the active backend
+    has fewer than ``n`` devices.
+
+    The analog of the reference harness running ``mpirun -np N`` on one
+    machine (reference mpi/run_tests.sh:8-16): mesh runs must work on a
+    host that doesn't physically have the devices. Keeps the current env
+    (so a parity re-exec's x64/AVX flags survive) and only forces the CPU
+    platform + device count. At most one re-exec; if the count is still
+    short afterwards the engine raises its own error.
+    """
+    import jax
+
+    if os.environ.get(_COUNT_GUARD) == "1" or jax.device_count() >= n:
+        return
+    if jax.default_backend() != "cpu":
+        print(f"[psim] {jax.device_count()} {jax.default_backend()} "
+              f"device(s) < mesh {n}; re-running on a {n}-device virtual "
+              f"CPU mesh", file=sys.stderr)
+    flags = os.environ.get("XLA_FLAGS", "")
+    # Replace any stale forced count rather than appending a duplicate.
+    parts = [f for f in flags.split()
+             if not f.startswith("--xla_force_host_platform_device_count=")]
+    parts.append(f"--xla_force_host_platform_device_count={n}")
+    env = {**os.environ, "PYTHONPATH": repo_root(), "JAX_PLATFORMS": "cpu",
+           "XLA_FLAGS": " ".join(parts), _COUNT_GUARD: "1"}
+    os.execvpe(sys.executable, [sys.executable, "-m", module] + list(args), env)

@@ -48,6 +48,22 @@ def test_cli_fast_mesh_golden_vector():
     assert r.stdout.strip().splitlines() == ["0.002 0.035", "2"]
 
 
+def test_cli_fast_mesh_self_provisions_devices():
+    """--engine fast --mesh N from a host with too few devices must
+    re-exec onto an N-device virtual CPU mesh (the reference's
+    mpirun-on-one-machine analog, reference mpi/run_tests.sh:8-16)
+    instead of dying with "need N devices, have 1"."""
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "PSIM_DEVCOUNT_REEXEC")}
+    env["PYTHONPATH"] = ROOT
+    r = subprocess.run(
+        [sys.executable, "-m", "particlesimulation_tpu",
+         "5893", "0.05", "3", "10", "10", "--engine", "fast", "--mesh", "3"],
+        capture_output=True, text=True, cwd=ROOT, env=env, timeout=300)
+    assert r.returncode == 0, r.stderr
+    assert r.stdout.strip().splitlines() == ["0.002 0.035", "2"]
+
+
 def test_cli_mesh_honors_impl():
     """--mesh N --impl sweep must select the sweep slab impl (round-2
     verdict: --impl was parsed but silently ignored under --mesh)."""
