@@ -49,6 +49,10 @@ MAX_XLA_KCAP = int(os.environ.get("PSIM_MAX_XLA_KCAP", "4096"))
 # accurate near EPSILON.
 V4_MIN_SIDE = float(os.environ.get("PSIM_V4_MIN_SIDE", "100"))
 
+# Receiver-chunk width for the chunked pair passes (v2/v4/v5). 32 is the
+# measured-best default at the flagship shape; env-tunable for A/B sweeps.
+PAIR_ICHUNK = int(os.environ.get("PSIM_PAIR_ICHUNK", "32"))
+
 
 def resolve_pair_impl(name: str | None = None, side: float | None = None):
     """Fused-pair-pass variant selector (shared by every tile engine).
@@ -208,7 +212,7 @@ def fused_pairs(xd, yd, mfd, alived, ncells: int, kcap: int, eps: float,
 
 def fused_pairs_v2(xd, yd, mfd, alived, ncells: int, kcap: int, eps: float,
                    collide: bool = True, cb: int = CELL_BLOCK, pid=None,
-                   ichunk: int = 32, sub=None):
+                   ichunk: int | None = None, sub=None):
     """Occupancy-adaptive fused pair pass (same contract as fused_pairs).
 
     ``sub`` (optional int32 (ncells, K) tiles): same-cell labels for
@@ -246,6 +250,7 @@ def fused_pairs_v2(xd, yd, mfd, alived, ncells: int, kcap: int, eps: float,
     base = jnp.int32(kcap + 1)
     # Chunk width must divide kcap (overlapping clamped slices would double-
     # count pairs); engine kcaps are multiples of 32, tests use tiny kcaps.
+    ichunk = PAIR_ICHUNK if ichunk is None else ichunk
     ichunk = min(ichunk, kcap)
     while kcap % ichunk:
         ichunk //= 2
@@ -388,7 +393,7 @@ def fused_pairs_v2(xd, yd, mfd, alived, ncells: int, kcap: int, eps: float,
 
 def fused_pairs_v3(xd, yd, mfd, alived, ncells: int, kcap: int, eps: float,
                    collide: bool = True, cb: int = CELL_BLOCK, pid=None,
-                   ichunk: int = 32):
+                   ichunk: int | None = None):
     """One-sweep fused pair pass (same contract and bit-identical outputs
     as fused_pairs_v2). NOT the default — measured slower; see below.
 
@@ -418,6 +423,7 @@ def fused_pairs_v3(xd, yd, mfd, alived, ncells: int, kcap: int, eps: float,
     eps2 = jnp.float32(eps) * jnp.float32(eps)
     INF = jnp.int32(0x7FFFFFFF)
     base = jnp.int32(kcap + 1)
+    ichunk = PAIR_ICHUNK if ichunk is None else ichunk
     ichunk = min(ichunk, kcap)
     while kcap % ichunk:
         ichunk //= 2
@@ -540,7 +546,7 @@ def fused_pairs_v3(xd, yd, mfd, alived, ncells: int, kcap: int, eps: float,
 
 def fused_pairs_v4(xd, yd, mfd, alived, ncells: int, kcap: int, eps: float,
                    collide: bool = True, cb: int = CELL_BLOCK, pid=None,
-                   ichunk: int = 32, sub=None):
+                   ichunk: int | None = None, sub=None):
     """MXU-form pair pass (same contract as fused_pairs_v2).
 
     Rewrites the force reduction as two contractions per chunk:
@@ -563,6 +569,7 @@ def fused_pairs_v4(xd, yd, mfd, alived, ncells: int, kcap: int, eps: float,
     eps2 = jnp.float32(eps) * jnp.float32(eps)
     INF = jnp.int32(0x7FFFFFFF)
     base = jnp.int32(kcap + 1)
+    ichunk = PAIR_ICHUNK if ichunk is None else ichunk
     ichunk = min(ichunk, kcap)
     while kcap % ichunk:
         ichunk //= 2
@@ -678,6 +685,12 @@ def fused_pairs_v4(xd, yd, mfd, alived, ncells: int, kcap: int, eps: float,
         xl = x - cx0[:, None]
         yl = y - cy0[:, None]
         gm = g * m_post
+        # PSIM_V4_STACK=1: one (CB,Ic,K)x(CB,K,3) contraction instead of
+        # three traversals of w (sx, sy, sum) — same math per output
+        # element, different only in XLA's reduction scheduling.
+        stacked = os.environ.get("PSIM_V4_STACK") == "1"
+        rhs = (jnp.stack([xl, yl, jnp.ones_like(xl)], axis=-1)
+               if stacked else None)
 
         def force_body(t, carry):
             fx, fy = carry
@@ -694,9 +707,13 @@ def fused_pairs_v4(xd, yd, mfd, alived, ncells: int, kcap: int, eps: float,
                 nz = nz & sc
             inv = jnp.where(nz, jax.lax.rsqrt(jnp.where(nz, d2, 1.0)), 0.0)
             w = m_post[:, None, :] * (inv * inv * inv)     # (CB, Ic, K)
-            sx = jnp.einsum("cik,ck->ci", w, xl, precision=HIGH)
-            sy = jnp.einsum("cik,ck->ci", w, yl, precision=HIGH)
-            sw = jnp.sum(w, axis=2)
+            if stacked:
+                s3 = jnp.einsum("cik,ckd->cid", w, rhs, precision=HIGH)
+                sx, sy, sw = s3[..., 0], s3[..., 1], s3[..., 2]
+            else:
+                sx = jnp.einsum("cik,ck->ci", w, xl, precision=HIGH)
+                sy = jnp.einsum("cik,ck->ci", w, yl, precision=HIGH)
+                sw = jnp.sum(w, axis=2)
             fx = jax.lax.dynamic_update_slice_in_dim(
                 fx, gmi * (sx - xi * sw), i0, axis=1)
             fy = jax.lax.dynamic_update_slice_in_dim(
@@ -717,7 +734,8 @@ def fused_pairs_v4(xd, yd, mfd, alived, ncells: int, kcap: int, eps: float,
 
 def fused_pairs_v5(xd, yd, mfd, alived, ncells: int, kcap: int, eps: float,
                    collide: bool = True, cb: int = CELL_BLOCK, pid=None,
-                   ichunk: int = 32, jchunk: int | None = None, sub=None):
+                   ichunk: int | None = None, jchunk: int | None = None,
+                   sub=None):
     """Newton's-3rd-law triangular pair pass (same contract as
     fused_pairs_v2). MEASURED NEGATIVE RESULT - selectable, not default.
 
@@ -756,6 +774,7 @@ def fused_pairs_v5(xd, yd, mfd, alived, ncells: int, kcap: int, eps: float,
     g = jnp.float32(G)
     eps2 = jnp.float32(eps) * jnp.float32(eps)
     INF = jnp.int32(0x7FFFFFFF)
+    ichunk = PAIR_ICHUNK if ichunk is None else ichunk
     jchunk = ichunk if jchunk is None else max(ichunk, jchunk)
     Kp = -(-kcap // jchunk) * jchunk
     ichunk = min(ichunk, Kp)
