@@ -350,11 +350,19 @@ def make_resident_run(config: SimConfig, kcap: int, backend: str = "xla"):
         # after migration (serial/parsim.cpp:393-411).
         if backend == "pallas":
             # v2 = fori_loop chunk loops (VMEM stack reuse -> wide chunks)
-            # + occupancy trims + hit gating; v1 = the unrolled round-1
-            # kernel kept for A/B (PERF.md "Pallas kernels on silicon").
-            fused_fn = (dmod.fused_pairs
-                        if os.environ.get("PSIM_PALLAS_PAIR") == "v1"
-                        else dmod.fused_pairs_v2)
+            # + hit gating; v4 = v2's kernel with the MXU force form
+            # (mirrors the XLA side-adaptive default); v1 = the unrolled
+            # round-1 kernel kept for A/B (PERF.md "Pallas on silicon").
+            sel = os.environ.get("PSIM_PALLAS_PAIR")
+            if sel is None:
+                sel = ("v4" if config.side >= _mono.V4_MIN_SIDE else "v2")
+            ptable = {"v1": dmod.fused_pairs, "v2": dmod.fused_pairs_v2,
+                      "v4": dmod.fused_pairs_v4}
+            fused_fn = ptable.get(sel)
+            if fused_fn is None:
+                raise ValueError(
+                    f"unknown Pallas pair impl {sel!r} (PSIM_PALLAS_PAIR); "
+                    f"valid: {sorted(ptable)}")
         else:
             # Side-adaptive default (dense_xla.resolve_pair_impl): v4's MXU
             # force form where f32 coordinate quantization already floors

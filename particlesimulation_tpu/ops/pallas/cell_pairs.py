@@ -247,8 +247,8 @@ def _fused_kernel(x_ref, y_ref, mf_ref, alive_ref, pid_ref,
 
 def _fused_kernel_v2(xt_ref, yt_ref, mft_ref, alivet_ref, pidt_ref,
                      fxt_ref, fyt_ref, ftt_ref, count_ref,
-                     pr_s, mpost_s, *,
-                     kcap, eps2, jchunk, collide):
+                     pr_s, mpost_s, xl_s, yl_s, *,
+                     kcap, eps2, jchunk, collide, force_form="v2"):
     """Fused pair kernel, v2: transposed layout + fori_loop chunk loops.
 
     Two structural changes vs the round-1 ``_fused_kernel``:
@@ -366,20 +366,56 @@ def _fused_kernel_v2(xt_ref, yt_ref, mft_ref, alivet_ref, pidt_ref,
 
     m_post = mpost_s[:]
 
-    def force_body(t, _):
-        i0 = t * jchunk
-        xi = chunk3(xt_ref, i0)
-        yi = chunk3(yt_ref, i0)
-        gmi = g * chunk3(mpost_s, i0)
-        dx = x[None, :, :] - xi[:, None, :]
-        dy = y[None, :, :] - yi[:, None, :]
-        d2 = dx * dx + dy * dy
-        nz = d2 > 0.0
-        inv = jnp.where(nz, jax.lax.rsqrt(jnp.where(nz, d2, 1.0)), 0.0)
-        s = gmi[:, None, :] * m_post[None, :, :] * (inv * inv * inv)
-        fxt_ref[pl.ds(i0, jchunk), :] = jnp.sum(s * dx, axis=1)
-        fyt_ref[pl.ds(i0, jchunk), :] = jnp.sum(s * dy, axis=1)
-        return 0
+    if force_form == "v4":
+        # MXU-form force algebra (dense_xla.fused_pairs_v4's derivation):
+        # fx_i = G·m_i·(Σ_j w_ij·xl_j − xl_i·Σ_j w_ij), w = m_j/d³, with
+        # coordinates recentered per cell (lane) by the used-slot mean to
+        # bound the contraction cancellation. Saves one multiply per pair
+        # axis and shares the w tensor across three reductions.
+        one = jnp.float32(1.0)
+        zero = jnp.float32(0.0)
+        used = m_post > zero
+        nrow = jnp.maximum(jnp.sum(jnp.where(used, one, zero), axis=0,
+                                   keepdims=True), one)
+        xl_s[:] = x - jnp.sum(jnp.where(used, x, zero), axis=0,
+                              keepdims=True) / nrow
+        yl_s[:] = y - jnp.sum(jnp.where(used, y, zero), axis=0,
+                              keepdims=True) / nrow
+        xl = xl_s[:]
+        yl = yl_s[:]
+
+        def force_body(t, _):
+            i0 = t * jchunk
+            xi = chunk3(xl_s, i0)
+            yi = chunk3(yl_s, i0)
+            gmi = g * chunk3(mpost_s, i0)
+            dx = xl[None, :, :] - xi[:, None, :]
+            dy = yl[None, :, :] - yi[:, None, :]
+            d2 = dx * dx + dy * dy
+            nz = d2 > 0.0
+            inv = jnp.where(nz, jax.lax.rsqrt(jnp.where(nz, d2, 1.0)), 0.0)
+            w = m_post[None, :, :] * (inv * inv * inv)
+            sx = jnp.sum(w * xl[None, :, :], axis=1)
+            sy = jnp.sum(w * yl[None, :, :], axis=1)
+            sw = jnp.sum(w, axis=1)
+            fxt_ref[pl.ds(i0, jchunk), :] = gmi * (sx - xi * sw)
+            fyt_ref[pl.ds(i0, jchunk), :] = gmi * (sy - yi * sw)
+            return 0
+    else:
+        def force_body(t, _):
+            i0 = t * jchunk
+            xi = chunk3(xt_ref, i0)
+            yi = chunk3(yt_ref, i0)
+            gmi = g * chunk3(mpost_s, i0)
+            dx = x[None, :, :] - xi[:, None, :]
+            dy = y[None, :, :] - yi[:, None, :]
+            d2 = dx * dx + dy * dy
+            nz = d2 > 0.0
+            inv = jnp.where(nz, jax.lax.rsqrt(jnp.where(nz, d2, 1.0)), 0.0)
+            s = gmi[:, None, :] * m_post[None, :, :] * (inv * inv * inv)
+            fxt_ref[pl.ds(i0, jchunk), :] = jnp.sum(s * dx, axis=1)
+            fyt_ref[pl.ds(i0, jchunk), :] = jnp.sum(s * dy, axis=1)
+            return 0
 
     jax.lax.fori_loop(0, trips, force_body, 0)
 
@@ -404,8 +440,9 @@ def _pick_tiling_v2(kcap: int) -> tuple[int, int]:
 def _fused_kernel_v2_kt(x_ref, y_ref, mf_ref, alive_ref, pid_ref,
                         fx_ref, fy_ref, ft_ref, count_ref,
                         xt_s, yt_s, mft_s, alivet_s, pidt_s,
-                        fxt_s, fyt_s, ftt_s, cnt_s, pr_s, mpost_s, *,
-                        kcap, eps2, jchunk, collide):
+                        fxt_s, fyt_s, ftt_s, cnt_s, pr_s, mpost_s,
+                        xl_s, yl_s, *,
+                        kcap, eps2, jchunk, collide, force_form="v2"):
     """_fused_kernel_v2 with in-kernel transposes: blocks arrive in the
     engine's (CB, K) layout, get transposed once into (K, CB) scratch
     (VMEM lane<->sublane shuffles), and the transposed kernel body runs
@@ -416,16 +453,28 @@ def _fused_kernel_v2_kt(x_ref, y_ref, mf_ref, alive_ref, pid_ref,
     alivet_s[:] = alive_ref[:].T
     pidt_s[:] = pid_ref[:].T
     _fused_kernel_v2(xt_s, yt_s, mft_s, alivet_s, pidt_s,
-                     fxt_s, fyt_s, ftt_s, cnt_s, pr_s, mpost_s,
-                     kcap=kcap, eps2=eps2, jchunk=jchunk, collide=collide)
+                     fxt_s, fyt_s, ftt_s, cnt_s, pr_s, mpost_s, xl_s, yl_s,
+                     kcap=kcap, eps2=eps2, jchunk=jchunk, collide=collide,
+                     force_form=force_form)
     fx_ref[:] = fxt_s[:].T
     fy_ref[:] = fyt_s[:].T
     ft_ref[:] = ftt_s[:].T
     count_ref[:] = cnt_s[:]
 
 
-def fused_pairs_v2(xd, yd, mfd, alived, ncells: int, kcap: int, eps: float,
+def fused_pairs_v4(xd, yd, mfd, alived, ncells: int, kcap: int, eps: float,
                    collide: bool = True, pid=None):
+    """Pallas twin of ops/dense_xla.fused_pairs_v4: the transposed v2
+    kernel with the MXU-form force algebra (shared-w reductions over
+    recentered coordinates). Collision outputs are bit-identical to the
+    v2 kernels; forces carry v4's contraction-cancellation term (adopted
+    at production domain sizes — see the dense_xla quantization study)."""
+    return fused_pairs_v2(xd, yd, mfd, alived, ncells, kcap, eps,
+                          collide=collide, pid=pid, force_form="v4")
+
+
+def fused_pairs_v2(xd, yd, mfd, alived, ncells: int, kcap: int, eps: float,
+                   collide: bool = True, pid=None, force_form="v2"):
     """Pallas twin of ops/dense_xla.fused_pairs_v2 (same contract).
 
     Transposes tiles to (K, ncells) layout (cells on lanes — see
@@ -453,7 +502,7 @@ def fused_pairs_v2(xd, yd, mfd, alived, ncells: int, kcap: int, eps: float,
         fx, fy, ft, counts = pl.pallas_call(
             functools.partial(_fused_kernel_v2_kt, kcap=kcap,
                               eps2=float(eps) * float(eps), jchunk=jchunk,
-                              collide=collide),
+                              collide=collide, force_form=force_form),
             grid=(nblocks,),
             in_specs=[nspec] * 5,
             out_specs=(nspec, nspec, nspec, cspec),
@@ -475,6 +524,8 @@ def fused_pairs_v2(xd, yd, mfd, alived, ncells: int, kcap: int, eps: float,
                 pltpu.VMEM((1, cb), jnp.int32),        # count
                 pltpu.VMEM((kcap, cb), jnp.int32),     # pid ranks
                 pltpu.VMEM((kcap, cb), jnp.float32),   # post-death masses
+                pltpu.VMEM((kcap, cb), jnp.float32),   # recentered x (v4)
+                pltpu.VMEM((kcap, cb), jnp.float32),   # recentered y (v4)
             ],
             interpret=_interpret(),
         )(xd, yd, mfd, alived, pid)
@@ -488,7 +539,7 @@ def fused_pairs_v2(xd, yd, mfd, alived, ncells: int, kcap: int, eps: float,
     fxt, fyt, ftt, counts = pl.pallas_call(
         functools.partial(_fused_kernel_v2, kcap=kcap,
                           eps2=float(eps) * float(eps), jchunk=jchunk,
-                          collide=collide),
+                          collide=collide, force_form=force_form),
         grid=(nblocks,),
         in_specs=[tspec, tspec, tspec, tspec, tspec],
         out_specs=(tspec, tspec, tspec, cspec),
@@ -501,6 +552,8 @@ def fused_pairs_v2(xd, yd, mfd, alived, ncells: int, kcap: int, eps: float,
         scratch_shapes=[
             pltpu.VMEM((kcap, cb), jnp.int32),     # pid ranks
             pltpu.VMEM((kcap, cb), jnp.float32),   # post-death masses
+            pltpu.VMEM((kcap, cb), jnp.float32),   # recentered x (v4)
+            pltpu.VMEM((kcap, cb), jnp.float32),   # recentered y (v4)
         ],
         interpret=_interpret(),
     )(xt, yt, mft, alivet, pidt)

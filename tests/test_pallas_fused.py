@@ -88,6 +88,38 @@ def test_fused_pallas_v2_pid_tiebreak():
                                rtol=1e-5, atol=scale * 1e-6)
 
 
+def test_fused_pallas_v4_matches_xla_v4():
+    """The Pallas v4 force form vs dense_xla.fused_pairs_v4: collision
+    outputs bit-identical, forces agree to f32 rounding (both compute the
+    same recentered contraction algebra, different reduction trees)."""
+    ncells, kcap = 12, 32
+    xd, yd, mfd, ad = _tiles(ncells, kcap)
+    pid = np.argsort(RNG.uniform(size=(ncells, kcap)), axis=1)
+    pid = jnp.asarray(pid.astype(np.int32))
+    ref = dense_xla.fused_pairs_v4(xd, yd, mfd, ad, ncells, kcap, EPSILON,
+                                   pid=pid)
+    got = cell_pairs.fused_pairs_v4(xd, yd, mfd, ad, ncells, kcap, EPSILON,
+                                    pid=pid)
+    np.testing.assert_array_equal(np.asarray(got[3]), np.asarray(ref[3]))
+    assert int(got[2]) == int(ref[2])
+    scale = float(np.abs(np.asarray(ref[0])).max()) + 1e-30
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]),
+                               rtol=1e-4, atol=scale * 1e-5)
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]),
+                               rtol=1e-4, atol=scale * 1e-5)
+
+
+def test_fused_pallas_v4_collision_bits_match_v2():
+    """v4's collision machinery is v2's exactly — ft and count must be
+    bit-identical between the two Pallas kernels."""
+    ncells, kcap = 12, 32
+    xd, yd, mfd, ad = _tiles(ncells, kcap)
+    r2 = cell_pairs.fused_pairs_v2(xd, yd, mfd, ad, ncells, kcap, EPSILON)
+    r4 = cell_pairs.fused_pairs_v4(xd, yd, mfd, ad, ncells, kcap, EPSILON)
+    np.testing.assert_array_equal(np.asarray(r4[3]), np.asarray(r2[3]))
+    assert int(r4[2]) == int(r2[2])
+
+
 def test_fused_pallas_v2_collide_false():
     ncells, kcap = 8, 32
     xd, yd, mfd, ad = _tiles(ncells, kcap)
