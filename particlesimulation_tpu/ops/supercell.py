@@ -369,6 +369,14 @@ def make_supercell_run(config: SimConfig, kcap: int, S: int):
                          dest_fn=dest_fn)
 
     # ---- fused pair pass with the same-cell label mask ------------------
+    # Side-adaptive variant selection like the resident engine, restricted
+    # to the sub-capable forms (the label mask needs the ``sub`` kwarg;
+    # v1/v3 lack it, so an env override naming one falls back to v2).
+    fused_fn = dmod.resolve_pair_impl(side=side)
+    if fused_fn not in (dmod.fused_pairs_v2, dmod.fused_pairs_v4,
+                        dmod.fused_pairs_v5):
+        fused_fn = dmod.fused_pairs_v2
+
     def pair_pass(ts: res.TileState, collide: bool):
         mf, binned, _ = physics_mass(ts)
         _, sub, _ = slot_geometry(ts.x, ts.y)
@@ -376,7 +384,7 @@ def make_supercell_run(config: SimConfig, kcap: int, S: int):
         # and carry m=0 / alive=0, so they are inert either way.
         sub = jnp.where(binned, sub, jnp.int32(-1))
         ad = (binned & (ts.m > 0)).astype(jnp.int32)
-        fxd, fyd, count, ftd = dmod.fused_pairs_v2(
+        fxd, fyd, count, ftd = fused_fn(
             ts.x, ts.y, mf, ad, rows, kcap, EPSILON, collide=collide,
             pid=ts.pid, sub=sub)
         died = ftd != INF
