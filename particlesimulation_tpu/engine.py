@@ -399,6 +399,13 @@ def make_resident_run(config: SimConfig, kcap: int, backend: str = "xla"):
         # Rebin: deliver movers to their new rows.
         if ablate == "rebin":
             undelivered = jnp.int32(0)
+        elif os.environ.get("PSIM_DEBUG_ROUNDS") == "1":
+            # Telemetry: accumulate delivery-round counts into the panics
+            # counter (axon has no host callbacks; results are wrong —
+            # debug-only, like PSIM_ABLATE).
+            ts, undelivered, rounds = res.rebin(ts, side, nc, kcap,
+                                                return_rounds=True)
+            ts = ts._replace(panics=ts.panics + rounds)
         else:
             ts, undelivered = rebin_fn(ts, side, nc, kcap)
 

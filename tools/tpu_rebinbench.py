@@ -40,9 +40,10 @@ def main():
 
     iters = int(sys.argv[1]) if len(sys.argv) > 1 else 50
     census = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    n = int(sys.argv[3]) if len(sys.argv) > 3 else 1_000_000
+    ncside = int(sys.argv[4]) if len(sys.argv) > 4 else 100
 
-    n = 1_000_000
-    cfg = SimConfig(seed=1, side=5000.0, ncside=100, n_particles=n,
+    cfg = SimConfig(seed=1, side=5000.0, ncside=ncside, n_particles=n,
                     precision=Precision.FAST)
     eng = Engine(cfg)
     state = device_init_state(cfg, eng)
