@@ -418,8 +418,27 @@ def rebin(ts: TileState, side: float, ncside: int, kcap: int,
             st, left = one_round(st)
             return st, left, rounds + 1
 
-    st, left, rounds = jax.lax.while_loop(cond, body,
-                                          (ts, left0, jnp.int32(0)))
+    # Static-prefix delivery (PSIM_REBIN_STATIC_ROUNDS=K): run up to K
+    # rounds as *statically unrolled* lax.conds before (or instead of)
+    # the dynamic while_loop. Measured motivation (PERF.md "1e7 regime"):
+    # at N=1e7 the mere presence of the dynamic while_loop in the step
+    # graph put the whole program in a ~12x-slower regime even though the
+    # loop ran ~1 round/step; the static prefix lets typical steps avoid
+    # dynamic trips entirely. With PSIM_REBIN_NO_TAIL=1 the while_loop is
+    # dropped from the graph altogether and undelivered movers after K
+    # rounds surface through the overflow counter (lossless retry).
+    K_STATIC = int(os.environ.get("PSIM_REBIN_STATIC_ROUNDS", "0"))
+    NO_TAIL = os.environ.get("PSIM_REBIN_NO_TAIL", "0") == "1"
+    st, left, rounds = ts, left0, jnp.int32(0)
+    if K_STATIC > 0:
+        def skip(carry):
+            return carry
+
+        for _ in range(K_STATIC):
+            st, left, rounds = jax.lax.cond(
+                left > 0, lambda c: body(c), skip, (st, left, rounds))
+    if not (K_STATIC > 0 and NO_TAIL):
+        st, left, rounds = jax.lax.while_loop(cond, body, (st, left, rounds))
     if return_rounds:
         return st, left, rounds
     return st, left
