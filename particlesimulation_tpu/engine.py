@@ -265,33 +265,39 @@ def make_resident_run(config: SimConfig, kcap: int, backend: str = "xla"):
         return flat.reshape(ncells, kcap)
 
     def prologue(state: SimState) -> res.TileState:
-        key, valid = binning.cell_keys(state.x, state.y, side, nc)
-        pos, _ = binning.segment_positions(key)
-        kmax = binning.max_occupancy(pos, valid)
+        # Scatter by the CLAMPED cell key: out-of-range (PANIC2-limbo)
+        # particles land in their nearest valid row instead of a far-away
+        # parking row. Parking them in cell 0 (the round-2 design) made
+        # every limbo particle a multi-cell "walker" when it re-entered
+        # range — the one-hop-per-round delivery needs |Δrow|+|Δcol|
+        # rounds, which at large grids exceeds MAX_ROUNDS, flags a
+        # spurious overflow, and silently downgraded N=1e7 runs to the
+        # 12×-slower dense impl (PERF.md "1e7 regime"). Clamp-parked limbo
+        # is ≤1 hop from home, the crowd accounting collapses into the
+        # ordinary occupancy bound, and physics is unchanged (limbo slots
+        # stay masked via binned_mask; valid particles have clamped key ==
+        # key, so their in-cell pid order — the collision tie-break — is
+        # identical). Costs one (ck, pid) sort per run, not per step.
+        cx, cy, _ = res.cell_of(state.x, state.y, side, nc)
+        ck = (jnp.clip(cy, 0, nc - 1) * nc
+              + jnp.clip(cx, 0, nc - 1)).astype(jnp.int32)
+        ck, pid, x, y, vx, vy, m, _alive = binning.sort_by_cell(
+            ck, state.pid, state.x, state.y, state.vx, state.vy,
+            state.m, state.alive)
+        pos, _ = binning.segment_positions(ck)
+        kmax = binning.max_occupancy(pos, jnp.ones_like(ck, bool))
         ovf = jnp.where(kmax > kcap, kmax, 0).astype(jnp.int32)
-        ok = valid & (pos < kcap)
-        idx = jnp.where(ok, key * kcap + pos, ncells * kcap)
-        # Out-of-range (PANIC2-limbo) particles park in cell 0's tail slots,
-        # filling from slot kcap-1 *downward* so they can't silently
-        # overwrite cell 0's residents (which fill from slot 0 upward);
-        # rare by construction and masked out of physics until back in
-        # range. If the two ranks would cross, flag overflow so the
-        # lossless capacity retry fires instead of dropping a particle.
-        limbo = (~valid) & (pos < kcap)
-        idx = jnp.where(limbo, jnp.int32(kcap - 1) - pos, idx)
-        occ0 = jnp.sum(ok & (key == 0), dtype=jnp.int32)
-        nlimbo = jnp.sum(~valid, dtype=jnp.int32)
-        crowd = occ0 + nlimbo
-        ovf = jnp.maximum(ovf, jnp.where(crowd > kcap, crowd, 0))
+        ok = pos < kcap
+        idx = jnp.where(ok, ck * kcap + pos, ncells * kcap)
         return res.TileState(
-            x=scatter_dense(idx, state.x),
-            y=scatter_dense(idx, state.y),
-            vx=scatter_dense(idx, state.vx),
-            vy=scatter_dense(idx, state.vy),
-            m=scatter_dense(idx, state.m),
-            occ=scatter_dense(idx, jnp.ones_like(state.m, dtype=bool),
+            x=scatter_dense(idx, x),
+            y=scatter_dense(idx, y),
+            vx=scatter_dense(idx, vx),
+            vy=scatter_dense(idx, vy),
+            m=scatter_dense(idx, m),
+            occ=scatter_dense(idx, jnp.ones_like(m, dtype=bool),
                               fill=False),
-            pid=scatter_dense(idx, state.pid),
+            pid=scatter_dense(idx, pid),
             collisions=state.collisions,
             panics=state.panics,
             overflow=jnp.maximum(state.overflow, ovf),
@@ -302,8 +308,9 @@ def make_resident_run(config: SimConfig, kcap: int, backend: str = "xla"):
     from particlesimulation_tpu.ops import dense_xla as _mono
     fused = True
     # Debug-only phase ablation for on-device cost attribution
-    # (PSIM_ABLATE=rebin|pairs|mono skips that phase; results are wrong).
-    ablate = os.environ.get("PSIM_ABLATE", "")
+    # (PSIM_ABLATE=rebin|pairs|mono, comma-combinable, skips those
+    # phases; results are wrong).
+    ablate = set(os.environ.get("PSIM_ABLATE", "").split(","))
 
     # Rebin backend: the Pallas kernel keeps the delivery transport
     # VMEM-resident (the XLA round is at its fusion floor — PERF.md
@@ -381,7 +388,7 @@ def make_resident_run(config: SimConfig, kcap: int, backend: str = "xla"):
         mf, binned, limbo_count = physics_mass(ts)
         ml_t, mxl_t, myl_t = mono_tables(ts, mf)
 
-        if fused and ablate == "mono":
+        if fused and "mono" in ablate:
             fx_tot, fy_tot = fxd, fyd
         elif fused:
             fxm, fym = _mono.monopole_tile_forces(ts.x, ts.y, mf,
@@ -397,7 +404,7 @@ def make_resident_run(config: SimConfig, kcap: int, backend: str = "xla"):
         ts = ts._replace(x=x, y=y, vx=vx, vy=vy)
 
         # Rebin: deliver movers to their new rows.
-        if ablate == "rebin":
+        if "rebin" in ablate:
             undelivered = jnp.int32(0)
         elif os.environ.get("PSIM_DEBUG_ROUNDS") == "1":
             # Telemetry: accumulate delivery-round counts into the panics
@@ -411,7 +418,7 @@ def make_resident_run(config: SimConfig, kcap: int, backend: str = "xla"):
 
         # Collisions on the rebinned tiles (+ next step's pair forces when
         # fused).
-        if fused and ablate == "pairs":
+        if fused and "pairs" in ablate:
             count = jnp.int32(0)
             died = jnp.zeros((ncells, kcap), bool)
         elif fused:

@@ -406,11 +406,28 @@ def rebin(ts: TileState, side: float, ncside: int, kcap: int,
         _, left, rounds = carry
         return (left > 0) & (rounds < MAX_ROUNDS)
 
+    # Straggler fallback: after this many one-hop rounds, pending movers
+    # are walkers (multi-cell hops — e.g. a limbo particle re-entering the
+    # domain far from its parked row), and each further round re-runs the
+    # whole grid to move them one cell. One compact pass delivers ANY
+    # distance directly; gating it on a round threshold keeps it out of
+    # typical steps entirely (they finish in <= ~4 rounds), so the
+    # measured 5x cost of compact-always (PERF.md "Mover compaction")
+    # is never paid on the fast path.
+    STRAGGLER = int(os.environ.get("PSIM_REBIN_STRAGGLER_ROUNDS", "8"))
+
     if compact_ok:
         def body(carry):
             st, left, rounds = carry
             st, left = jax.lax.cond(left <= MCAP, compact_pass, one_round,
                                     st)
+            return st, left, rounds + 1
+    elif dest_fn is not None:
+        def body(carry):
+            st, left, rounds = carry
+            st, left = jax.lax.cond(
+                (rounds >= STRAGGLER) & (left <= MCAP),
+                compact_pass, one_round, st)
             return st, left, rounds + 1
     else:
         def body(carry):

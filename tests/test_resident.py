@@ -313,3 +313,73 @@ def test_rebin_packed_slots_no_direction_deadlock(r_env, form, monkeypatch):
     assert occ_out[5].sum() == 8
     assert not occ_out[0].any()
     assert 99 in pid_out[5][occ_out[5]]
+
+
+def test_prologue_clamp_parks_out_of_range():
+    """Out-of-range (PANIC2-limbo) particles park in their CLAMPED row,
+    not a fixed far-away row. The round-2 cell-0 parking made each limbo
+    particle a multi-cell walker on re-entry; at large grids the walks
+    exceeded the delivery round cap, flagged spurious overflow, and
+    silently downgraded N=1e7 runs to the 12x-slower dense impl."""
+    import jax
+    import jax.numpy as jnp
+
+    from particlesimulation_tpu.engine import make_resident_run
+    from particlesimulation_tpu.ops import resident as res
+
+    cfg = SimConfig(seed=1, side=100.0, ncside=20, n_particles=64,
+                    precision=Precision.FAST)
+    eng = Engine(cfg, impl="resident", dense_backend="xla")
+    state = eng.init_state()
+    # Push particle pid=0 out of range past the far corner.
+    i0 = int(np.argmin(np.asarray(state.pid)))
+    state = state._replace(
+        x=state.x.at[i0].set(100.0),      # == side -> cx = ncside (invalid)
+        y=state.y.at[i0].set(97.0))       # row 19
+    kcap = 32
+    _, prologue, _ = make_resident_run(cfg, kcap)
+    ts = jax.jit(prologue)(state)
+    occ = np.asarray(ts.occ)
+    pid = np.asarray(ts.pid)
+    rows = np.argwhere(occ & (pid == 0))
+    assert len(rows) == 1
+    row = int(rows[0][0])
+    # Clamped cell: (cx=19, cy=19) -> row 19*20+19 = 399 (NOT row 0).
+    assert row == 399, f"limbo parked in row {row}, want clamped 399"
+    assert int(np.asarray(ts.overflow)) == 0
+    # Masked out of physics until back in range.
+    binned, limbo_count = res.binned_mask(ts, cfg.side, cfg.ncside)
+    assert int(limbo_count) == 1
+    assert not bool(np.asarray(binned)[row][np.asarray(ts.pid)[row] == 0][0])
+
+
+def test_rebin_walker_straggler_compaction():
+    """A teleported multi-cell mover (e.g. limbo re-entering far from its
+    parked row) must deliver via the straggler compaction within
+    STRAGGLER+1 rounds instead of walking one cell per full-grid round."""
+    import jax
+    import jax.numpy as jnp
+
+    from particlesimulation_tpu.engine import make_resident_run
+    from particlesimulation_tpu.ops import resident as res
+
+    cfg = SimConfig(seed=1, side=100.0, ncside=25, n_particles=300,
+                    precision=Precision.FAST)
+    eng = Engine(cfg, impl="resident", dense_backend="xla")
+    state = eng.init_state()
+    kcap = 32
+    _, prologue, _ = make_resident_run(cfg, kcap)
+    ts = jax.jit(prologue)(state)
+    # Teleport one occupied slot's POSITION across the grid (slot stays):
+    # a 12+12-cell walker under the minimal-image one-hop delivery.
+    occ = np.asarray(ts.occ)
+    r, k = map(int, np.argwhere(occ)[0])
+    ts = ts._replace(
+        x=ts.x.at[r, k].set((r % 25) * 4.0 + 2.0 + 48.0
+                            if (r % 25) < 12 else 2.0),
+        y=ts.y.at[r, k].set((r // 25) * 4.0 + 2.0 + 48.0
+                            if (r // 25) < 12 else 2.0))
+    out, left, rounds = res.rebin(ts, cfg.side, cfg.ncside, kcap,
+                                  return_rounds=True)
+    assert int(left) == 0
+    assert int(rounds) <= 9, f"walker took {int(rounds)} rounds"
