@@ -213,6 +213,28 @@ def make_sharded_resident_run(config: SimConfig, mesh, kcap: int, cap: int):
             sx = jnp.sign(res._wrap_delta(cxg - col_of, nc))
             return moving, sx, sy
 
+        def dest_fn(st: res.TileState):
+            """Absolute local destination rows for the straggler-compaction
+            fallback (ops/resident.py): a multi-cell mover (e.g. a limbo
+            particle re-entering far from its parked cell) otherwise walks
+            one cell per full-grid round and can exhaust MAX_ROUNDS,
+            flagging a spurious kcap retry. Emigrants compact into their
+            halo row exactly as the one-hop delivery would."""
+            cxg, cyg, valid = res.cell_of(st.x, st.y, side, nc)
+            gy_row = row0 + lrow_of - 1
+            delta = res._wrap_delta(cyg - gy_row, nc)
+            dlr = lrow_of + delta
+            dest_lrow = jnp.where(dlr < 1, 0,
+                                  jnp.where(dlr > rows_mine,
+                                            jnp.int32(nrows_t - 1), dlr))
+            dest_lrow = jnp.where(lrow_of > rows_mine,
+                                  jnp.int32(nrows_t - 1), dest_lrow)
+            movable = (lrow_of >= 1) & (lrow_of <= rows_max)
+            moving = (st.occ & valid & movable
+                      & ((dest_lrow != lrow_of) | (cxg != col_of)))
+            dest = dest_lrow * nc + jnp.clip(cxg, 0, nc - 1)
+            return moving, dest
+
         def extract_row(ts: res.TileState, r):
             out = {}
             for f in _FIELDS + ("occ", "pid"):
@@ -269,7 +291,8 @@ def make_sharded_resident_run(config: SimConfig, mesh, kcap: int, cap: int):
             """Deliver every mover to its destination cell, crossing shard
             boundaries through the halo rows. Returns (ts, overflow)."""
             ts, undelivered = res.rebin(ts, side, nc, kcap,
-                                        mover_fn=mover_fn, nrows=nrows_t)
+                                        mover_fn=mover_fn, nrows=nrows_t,
+                                        dest_fn=dest_fn)
             ovf0 = undelivered
             pending = halo_pending(ts)
             max_rounds = d + SHIP_SLACK
@@ -293,7 +316,8 @@ def make_sharded_resident_run(config: SimConfig, mesh, kcap: int, cap: int):
                 ts, o1 = merge_into_row(ts, from_above, jnp.int32(1))
                 ts, o2 = merge_into_row(ts, from_below, rows_mine)
                 ts, undeliv = res.rebin(ts, side, nc, kcap,
-                                        mover_fn=mover_fn, nrows=nrows_t)
+                                        mover_fn=mover_fn, nrows=nrows_t,
+                                        dest_fn=dest_fn)
                 return ts, halo_pending(ts), rounds + 1, ovf + o1 + o2 + undeliv
 
             ts, pending, _, ovf = jax.lax.while_loop(
