@@ -96,7 +96,7 @@ def main(argv: list[str] | None = None) -> int:
 
     if mesh_shape and mesh > 1:
         from particlesimulation_tpu.parallel.sharded2d import Sharded2DEngine
-        eng = Sharded2DEngine(config, mesh_shape)
+        eng = Sharded2DEngine(config, mesh_shape, impl=impl)
     elif mesh > 1:
         from particlesimulation_tpu.parallel.sharded import ShardedEngine
         # Parity precision always runs the sweep slab impl (ShardedEngine

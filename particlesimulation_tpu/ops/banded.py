@@ -132,6 +132,26 @@ def plan_bands(hist2d, ncside: int, max_kcap: int):
     return [(i, j - i, seg_k(i, j)) for i, j in bounds]
 
 
+def uniform_band_plan(ncside: int, band_rows: int, kcap: int):
+    """Equal-rows band plan: the HBM-streaming split for *uniform* loads.
+
+    plan_bands targets clustered occupancy (per-band K right-sizing) and
+    declines uniform grids; this plan instead bounds each band's tile
+    working set so a band's rebin+pair sub-passes operate on arrays small
+    enough for XLA's memory-space assignment to keep in VMEM — the 1e7
+    regime fix (PERF.md "Open levers": at ~400 MB of tile state every
+    pass round-trips HBM and both hot phases run ~1.8x over linear).
+    """
+    band_rows = max(1, int(band_rows))
+    plan = []
+    r = 0
+    while r < ncside:
+        rows = min(band_rows, ncside - r)
+        plan.append((r, rows, kcap))
+        r += rows
+    return tuple(plan)
+
+
 def grow_plan(plan, factor: float = 1.5, max_kcap: int = 1 << 30):
     """Lossless-retry growth: every band's capacity scales up."""
     return [(r0, rw, min(_round32(k * factor), max_kcap))

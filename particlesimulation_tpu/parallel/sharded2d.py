@@ -36,6 +36,8 @@ column-/row-only decompositions; the 1D engine remains the default for
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -142,6 +144,70 @@ def stencil_tables_halo2d(Mp, MXp, MYp, side: float, ncside: int,
             jnp.concatenate([jnp.stack(myl), pad], axis=1))
 
 
+def two_phase_com_halo(M2, MX2, MY2, rows_mine, cols_mine, d_r: int,
+                       d_c: int):
+    """Two-phase COM halo exchange over the (rows, cols) mesh.
+
+    ``M2/MX2/MY2``: (rows_max, cols_max) local COM grids. Rows phase first
+    (one ``ppermute`` ring hop per direction along ``AXIS_R``), then the
+    cols phase over the *row-padded* grid so corner cells ride the second
+    hop — the torus generalization of the reference's one-row ghost
+    exchange (mpi/parsim-mpi.cpp:670-815). ``rows_mine/cols_mine`` are the
+    traced owned extents (uneven decomposition); a d of 1 on either axis
+    self-wraps without a collective. Returns (Mpp, MXpp, MYpp), each
+    (rows_max + 2, cols_max + 2) with ring 0 holding the halos.
+    """
+    rows_max, cols_max = M2.shape
+
+    def last_row(A):
+        return jax.lax.dynamic_slice_in_dim(A, rows_mine - 1, 1, axis=0)[0]
+
+    if d_r > 1:
+        down = _ring_perm(d_r, 1)
+        up = _ring_perm(d_r, -1)
+        top = jax.lax.ppermute((last_row(M2), last_row(MX2),
+                                last_row(MY2)), AXIS_R, down)
+        bot = jax.lax.ppermute((M2[0], MX2[0], MY2[0]), AXIS_R, up)
+    else:
+        top = (last_row(M2), last_row(MX2), last_row(MY2))
+        bot = (M2[0], MX2[0], MY2[0])
+    zrow = jnp.zeros((1, cols_max), M2.dtype)
+
+    def padded_rows(A, halo_top, halo_bot):
+        Ap = jnp.concatenate([halo_top[None], A, zrow], axis=0)
+        return jax.lax.dynamic_update_slice_in_dim(
+            Ap, halo_bot[None], rows_mine + 1, axis=0)
+
+    Mp = padded_rows(M2, top[0], bot[0])
+    MXp = padded_rows(MX2, top[1], bot[1])
+    MYp = padded_rows(MY2, top[2], bot[2])
+
+    def last_col(A):
+        return jax.lax.dynamic_slice_in_dim(A, cols_mine - 1, 1,
+                                            axis=1)[:, 0]
+
+    if d_c > 1:
+        right = _ring_perm(d_c, 1)
+        left = _ring_perm(d_c, -1)
+        lh = jax.lax.ppermute((last_col(Mp), last_col(MXp),
+                               last_col(MYp)), AXIS_C, right)
+        rh = jax.lax.ppermute((Mp[:, 0], MXp[:, 0], MYp[:, 0]),
+                              AXIS_C, left)
+    else:
+        lh = (last_col(Mp), last_col(MXp), last_col(MYp))
+        rh = (Mp[:, 0], MXp[:, 0], MYp[:, 0])
+    zcol = jnp.zeros((rows_max + 2, 1), M2.dtype)
+
+    def padded_cols(Ap, halo_l, halo_r):
+        App = jnp.concatenate([halo_l[:, None], Ap, zcol], axis=1)
+        return jax.lax.dynamic_update_slice_in_dim(
+            App, halo_r[:, None], cols_mine + 1, axis=1)
+
+    return (padded_cols(Mp, lh[0], rh[0]),
+            padded_cols(MXp, lh[1], rh[1]),
+            padded_cols(MYp, lh[2], rh[2]))
+
+
 def make_sharded2d_step(config: SimConfig, mesh: Mesh, dec_r: AxisDecomp,
                         dec_c: AxisDecomp, cap: int, bcap: int):
     side = config.side
@@ -211,54 +277,8 @@ def make_sharded2d_step(config: SimConfig, mesh: Mesh, dec_r: AxisDecomp,
         # ---- two-phase COM halo over ICI (reference ghost exchange P3,
         # generalized to the torus: rows axis first, then cols over the
         # row-padded grid so corner cells ride the second phase) ----
-        def last_row(A):
-            return jax.lax.dynamic_slice_in_dim(A, rows_mine - 1, 1,
-                                                axis=0)[0]
-
-        if d_r > 1:
-            down = _ring_perm(d_r, 1)
-            up = _ring_perm(d_r, -1)
-            top = jax.lax.ppermute((last_row(M2), last_row(MX2),
-                                    last_row(MY2)), AXIS_R, down)
-            bot = jax.lax.ppermute((M2[0], MX2[0], MY2[0]), AXIS_R, up)
-        else:
-            top = (last_row(M2), last_row(MX2), last_row(MY2))
-            bot = (M2[0], MX2[0], MY2[0])
-        zrow = jnp.zeros((1, cols_max), M2.dtype)
-
-        def padded_rows(A, halo_top, halo_bot):
-            Ap = jnp.concatenate([halo_top[None], A, zrow], axis=0)
-            return jax.lax.dynamic_update_slice_in_dim(
-                Ap, halo_bot[None], rows_mine + 1, axis=0)
-
-        Mp = padded_rows(M2, top[0], bot[0])
-        MXp = padded_rows(MX2, top[1], bot[1])
-        MYp = padded_rows(MY2, top[2], bot[2])
-
-        def last_col(A):
-            return jax.lax.dynamic_slice_in_dim(A, cols_mine - 1, 1,
-                                                axis=1)[:, 0]
-
-        if d_c > 1:
-            right = _ring_perm(d_c, 1)
-            left = _ring_perm(d_c, -1)
-            lh = jax.lax.ppermute((last_col(Mp), last_col(MXp),
-                                   last_col(MYp)), AXIS_C, right)
-            rh = jax.lax.ppermute((Mp[:, 0], MXp[:, 0], MYp[:, 0]),
-                                  AXIS_C, left)
-        else:
-            lh = (last_col(Mp), last_col(MXp), last_col(MYp))
-            rh = (Mp[:, 0], MXp[:, 0], MYp[:, 0])
-        zcol = jnp.zeros((rows_max + 2, 1), M2.dtype)
-
-        def padded_cols(Ap, halo_l, halo_r):
-            App = jnp.concatenate([halo_l[:, None], Ap, zcol], axis=1)
-            return jax.lax.dynamic_update_slice_in_dim(
-                App, halo_r[:, None], cols_mine + 1, axis=1)
-
-        Mpp = padded_cols(Mp, lh[0], rh[0])
-        MXpp = padded_cols(MXp, lh[1], rh[1])
-        MYpp = padded_cols(MYp, lh[2], rh[2])
+        Mpp, MXpp, MYpp = two_phase_com_halo(M2, MX2, MY2, rows_mine,
+                                             cols_mine, d_r, d_c)
 
         # ---- forces ----
         ml, mxl, myl = stencil_tables_halo2d(Mpp, MXpp, MYpp, side, nc,
@@ -426,12 +446,24 @@ class Sharded2DEngine:
 
     ``mesh_shape=(d_r, d_c)`` lays the first ``d_r * d_c`` devices out as
     a (rows, cols) mesh; shard (r, c) owns the cell rectangle
-    [row block r] × [col block c]. Migration overflow triggers a lossless
-    capacity retry exactly like the 1D sweep path.
+    [row block r] × [col block c].
+
+    Two implementations, mirroring the 1D ``ShardedEngine``:
+
+    * ``sweep`` — sorted per-shard slabs, neighbor-offset force sweep.
+      The f64 parity path (bitwise equal to single-chip; asserted in
+      tests/test_sharded2d.py).
+    * ``resident`` — slot-resident rectangle tiles with the fused pair
+      kernels and dimension-ordered halo shipping
+      (parallel/sharded2d_resident.py). The FAST-precision default.
+
+    Overflow anywhere triggers a lossless capacity retry (grow tiles /
+    slabs / buffers and replay), then escalation to the sweep impl.
     """
 
     def __init__(self, config: SimConfig, mesh_shape: tuple[int, int],
-                 devices=None):
+                 devices=None, impl: str | None = None,
+                 kcap: int | None = None):
         self.config = config
         d_r, d_c = int(mesh_shape[0]), int(mesh_shape[1])
         if d_r * d_c != config.n_shards:
@@ -451,8 +483,17 @@ class Sharded2DEngine:
             if not jax.config.jax_enable_x64:
                 raise RuntimeError("parity precision requires jax_enable_x64")
             self.dtype = jnp.float64
+            self.impl = "sweep"
         else:
             self.dtype = jnp.float32
+            if impl is None:
+                impl = os.environ.get("PSIM_SHARD_IMPL", "resident")
+            self.impl = impl
+        if self.impl not in ("resident", "sweep"):
+            raise ValueError(
+                f"unknown sharded2d impl {self.impl!r}; "
+                f"valid: resident, sweep")
+        self.kcap = kcap
         self.capacity = config.shard_capacity or None
         self.bcap = config.migration_capacity or None
         self._built_key = None
@@ -465,16 +506,30 @@ class Sharded2DEngine:
     def _build(self):
         cap = self.capacity or self.config.resolved_shard_capacity()
         self.capacity = cap
+        if self.impl == "resident" and self.kcap is None:
+            # Snug Poisson-tail bound (same rationale as the 1D engine);
+            # overflow retries are lossless.
+            avg = max(1.0, self.config.n_particles
+                      / max(1, self.config.ncells))
+            self.kcap = self._round_cap(avg + 4.5 * avg ** 0.5 + 8)
         if self.bcap is None:
             self.bcap = max(64, cap // 2)
-        key = (cap, self.bcap)
+        key = (self.impl, cap, self.bcap,
+               self.kcap if self.impl == "resident" else None)
         if self._built_key == key and self._run is not None:
             return
-        step = make_sharded2d_step(self.config, self.mesh, self.dec_r,
-                                   self.dec_c, cap, self.bcap)
-        self._run = jax.jit(
-            lambda s, nsteps: jax.lax.fori_loop(
-                0, nsteps, lambda i, st: step(st), s))
+        if self.impl == "resident":
+            from particlesimulation_tpu.parallel.sharded2d_resident import (
+                make_sharded2d_resident_run)
+            self._run = make_sharded2d_resident_run(
+                self.config, self.mesh, self.dec_r, self.dec_c,
+                self.kcap, cap)
+        else:
+            step = make_sharded2d_step(self.config, self.mesh, self.dec_r,
+                                       self.dec_c, cap, self.bcap)
+            self._run = jax.jit(
+                lambda s, nsteps: jax.lax.fori_loop(
+                    0, nsteps, lambda i, st: step(st), s))
         self._built_key = key
 
     def init_state(self) -> ShardedState:
@@ -511,6 +566,15 @@ class Sharded2DEngine:
         shard = np.where(in_range, r * d_c + c, 0)
 
         counts = np.bincount(shard, minlength=d)
+        if self.impl == "resident" and self.kcap is None:
+            # Occupancy-informed tile capacity (host-side, no readback);
+            # overflow retries are lossless, so size snugly — pair-pass
+            # cost scales with kcap².
+            occ = np.bincount(
+                np.clip(cy, 0, cfg.ncside - 1) * cfg.ncside
+                + np.clip(cx, 0, cfg.ncside - 1),
+                minlength=cfg.ncells).max()
+            self.kcap = self._round_cap(occ * 1.1 + 4)
         if self.capacity is None:
             need = int(counts.max() * 1.5) + 16
             self.capacity = max(need, cfg.resolved_shard_capacity())
@@ -595,7 +659,16 @@ class Sharded2DEngine:
             pid=grow(state.pid, np.iinfo(np.int32).max))
 
     def run(self, state: ShardedState, n_steps: int) -> ShardedState:
-        """Run ``n_steps``; overflow triggers a lossless capacity retry."""
+        """Run ``n_steps``; overflow triggers a lossless capacity retry.
+
+        Retry ladder (replays from the *input* state; nothing is ever
+        dropped — the reference instead PANIC-skips or dies): resident
+        tile overflow grows ``kcap`` then escalates to the sweep impl;
+        CAP_OVF grows the per-shard slab; sweep migration overflow grows
+        slab + buffer; STRAY_OVF is an invariant violation and raises.
+        """
+        from particlesimulation_tpu.parallel.sharded import (
+            CAP_OVF, STRAY_OVF)
         for _attempt in range(8):
             if self.capacity is not None:
                 state = self._grow_state(state, self.capacity)
@@ -607,11 +680,30 @@ class Sharded2DEngine:
             need = int(np.asarray(out.overflow))
             if need == 0:
                 return out
-            # Migration-buffer or landing-slot exhaustion: grow both and
-            # replay from the input state — nothing was dropped.
-            cap = self.capacity or self.config.resolved_shard_capacity()
-            self.capacity = self._round_cap(cap * 1.5 + need)
-            self.bcap = self._round_cap((self.bcap or 64) * 2 + need)
+            if need >= int(STRAY_OVF):
+                raise RuntimeError(
+                    "sharded2d slab invariant violation: a particle sits "
+                    "outside its owner shard's rectangle (not "
+                    "capacity-fixable)")
+            if need >= int(CAP_OVF):
+                deficit = need - int(CAP_OVF)
+                cap = self.capacity or self.config.resolved_shard_capacity()
+                self.capacity = self._round_cap(cap * 1.5 + deficit)
+                continue
+            if self.impl != "resident":
+                # Sweep migration overflow: emigrant buffer (bcap) or
+                # landing-slot exhaustion — grow both and replay.
+                cap = self.capacity or self.config.resolved_shard_capacity()
+                self.capacity = self._round_cap(cap * 1.5 + need)
+                self.bcap = self._round_cap((self.bcap or 64) * 2 + need)
+                continue
+            # Resident tile occupancy outgrew the grid: larger tiles,
+            # sized to the observed occupancy when it exceeds plain growth.
+            self.kcap = max(self._round_cap(need * 1.25 + 1),
+                            self._round_cap(self.kcap * 1.5))
+            from particlesimulation_tpu.ops import dense_xla
+            if _attempt >= 2 or self.kcap > dense_xla.MAX_XLA_KCAP:
+                self.impl = "sweep"
         raise RuntimeError("sharded2d capacity retries exhausted")
 
     def result(self, state: ShardedState) -> tuple[float, float, int]:

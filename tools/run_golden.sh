@@ -3,8 +3,13 @@
 # (reference serial/run_tests.sh): run the CLI on each vector, compare
 # particle-0 coordinates at ±0.001 and the collision count exactly.
 #
-# Usage: tools/run_golden.sh [fast|slow|all|mesh-sweep] \
+# Usage: tools/run_golden.sh [fast|slow|all|mesh-sweep|slow-mesh] \
 #            [--engine parity|fast] [--mesh N]
+#
+# slow-mesh runs two HEAVY vectors end-to-end through sharded meshes in
+# f64 parity mode (--mesh 2 and the 2x2 rectangle) — the analog of the
+# reference MPI harness running its full vector table under mpirun
+# (reference mpi/run_tests.sh:41-53,76). Budget hours on a 1-core host.
 #
 # mesh-sweep mirrors the reference MPI harness's configurable process
 # counts (reference mpi/run_tests.sh:8-16 wraps every vector in
@@ -38,17 +43,30 @@ SLOW_VECTORS=(
   "-11 3500 20 500000 10:1984.878 1625.992:35"
 )
 
+# Heavy vectors for the slow-mesh tier (VERDICT r3 item 4): enough steps
+# that mesh-decomposition errors would compound past the 0.001 gate.
+SLOW_MESH_VECTORS=(
+  "-1 1000 30 100000 1000:575.878 370.663:1203"
+  "12 100 5 10000 10000:76.732 61.943:2209"
+)
+
 MESH_SWEEP=0
 case "$SUBSET" in
   fast) VECTORS=("${FAST_VECTORS[@]}");;
   slow) VECTORS=("${SLOW_VECTORS[@]}");;
   all)  VECTORS=("${FAST_VECTORS[@]}" "${SLOW_VECTORS[@]}");;
   mesh-sweep) VECTORS=("${FAST_VECTORS[@]}"); MESH_SWEEP=1;;
+  slow-mesh) VECTORS=("${SLOW_MESH_VECTORS[@]}"); MESH_SWEEP=2;;
   *) echo "unknown subset: $SUBSET" >&2; exit 2;;
 esac
 
 RUNS=()
-if [ "$MESH_SWEEP" = "1" ]; then
+if [ "$MESH_SWEEP" = "2" ]; then
+  for vec in "${VECTORS[@]}"; do
+    RUNS+=("$vec:--mesh 2")
+    RUNS+=("$vec:--mesh 2x2")
+  done
+elif [ "$MESH_SWEEP" = "1" ]; then
   for vec in "${VECTORS[@]}"; do
     IFS=':' read -r args _ _ <<<"$vec"
     read -r _ _ nc _ _ <<<"$args"

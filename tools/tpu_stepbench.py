@@ -92,17 +92,24 @@ def main():
         eng = Engine(cfg, impl="resident", dense_backend="xla")
     state = device_init_state(cfg, eng)
     if impl == "banded":
-        from particlesimulation_tpu.ops.banded import plan_bands
+        from particlesimulation_tpu.ops.banded import (
+            plan_bands, uniform_band_plan)
         w = cfg.side / cfg.ncside
         cx = np.clip((np.asarray(state.x) / w).astype(np.int64), 0,
                      cfg.ncside - 1)
         cy = np.clip((np.asarray(state.y) / w).astype(np.int64), 0,
                      cfg.ncside - 1)
         hist = np.bincount(cy * cfg.ncside + cx, minlength=cfg.ncells)
-        bp = plan_bands(hist, cfg.ncside, eng._max_kcap())
-        if bp:
-            eng._band_plan = tuple(tuple(p) for p in bp)
-        print(f"band plan (row0, rows, kcap) = {eng._band_plan or bp}",
+        band_rows = int(os.environ.get("PSIM_BAND_ROWS", "0"))
+        if band_rows:
+            # Forced equal-rows split (HBM-streaming A/B on uniform loads).
+            kc = max(32, (int(hist.max() * 1.1 + 4) + 31) // 32 * 32)
+            eng._band_plan = uniform_band_plan(cfg.ncside, band_rows, kc)
+        else:
+            bp = plan_bands(hist, cfg.ncside, eng._max_kcap())
+            if bp:
+                eng._band_plan = tuple(tuple(p) for p in bp)
+        print(f"band plan (row0, rows, kcap) = {eng._band_plan}",
               flush=True)
     if impl == "tiered":
         # Device-side states bypass init_state's occupancy census; plan
