@@ -132,6 +132,63 @@ def plan_bands(hist2d, ncside: int, max_kcap: int):
     return [(i, j - i, seg_k(i, j)) for i, j in bounds]
 
 
+def plan_bands_cyclic(hist2d, ncside: int, n_shards: int, max_kcap: int):
+    """Band plan with boundaries at multiples of ``n_shards`` rows.
+
+    The block-cyclic sharded banded engine (parallel/sharded_banded.py)
+    gives every shard 1/n_shards of every band's rows, so each band must
+    span at least ``n_shards`` rows; restricting boundaries to multiples
+    of n_shards keeps every shard's chunk of a band the same height (no
+    padding rows). Same cost model and return shape as ``plan_bands``;
+    returns None when a single band is within 30% (uniform occupancy —
+    the plain sharded resident engine is simpler and equal). The last
+    band absorbs ``ncside % n_shards`` extra rows (ragged chunking).
+    """
+    d = int(n_shards)
+    if d < 1 or ncside < d:
+        return None
+    occ = np.asarray(hist2d).reshape(ncside, ncside)
+    row_kmax = occ.max(axis=1).astype(np.int64)
+    g = ncside // d  # candidate boundaries: 0, d, 2d, ..., g*d (+ tail)
+
+    def seg_k(i, j):
+        """K over super-rows [i, j) (rows i*d .. j*d, tail into the last)."""
+        hi = ncside if j == g else j * d
+        return min(_round32(int(row_kmax[i * d:hi].max()) * 1.15 + 4),
+                   max_kcap)
+
+    def seg_cost(i, j):
+        k = seg_k(i, j)
+        hi = ncside if j == g else j * d
+        rows = hi - i * d
+        # Per-shard chunk cost × d shards ≈ total work; +2 halo rows per
+        # chunk per shard.
+        return ((rows + 2 * d) * ncside * k * (_SLOT_WEIGHT + k)
+                + d * _BAND_PENALTY)
+
+    best = np.full(g + 1, np.inf)
+    cut = np.zeros(g + 1, np.int64)
+    best[0] = 0.0
+    for j in range(1, g + 1):
+        for i in range(j):
+            c = best[i] + seg_cost(i, j)
+            if c < best[j]:
+                best[j] = c
+                cut[j] = i
+    single = seg_cost(0, g)
+    if best[g] > 0.7 * single:
+        return None
+    bounds = []
+    j = g
+    while j > 0:
+        i = int(cut[j])
+        bounds.append((i, j))
+        j = i
+    bounds.reverse()
+    return [(i * d, (ncside if j == g else j * d) - i * d, seg_k(i, j))
+            for i, j in bounds]
+
+
 def uniform_band_plan(ncside: int, band_rows: int, kcap: int):
     """Equal-rows band plan: the HBM-streaming split for *uniform* loads.
 

@@ -964,6 +964,17 @@ def fused_pairs_v5(xd, yd, mfd, alived, ncells: int, kcap: int, eps: float,
             ft.reshape(-1, Kp)[:ncells, :kcap])
 
 
+# bf16 far-field A/B (PERF.md "Open levers"): the monopole terms are the
+# smooth long-range part of the force — each is a COM attraction at >= one
+# cell width, so the per-term relative error bf16 introduces (~2^-8) sits
+# on a term that is itself an O(cell/r)^2-truncated approximation of the
+# far field. Off by default pending the statistical-parity gate; the
+# deltas (dx, dy) stay f32 (catastrophic cancellation near cell borders
+# would otherwise blow past the quantization floor) — only the
+# rsqrt/scale algebra drops to bf16.
+MONO_BF16 = os.environ.get("PSIM_MONO_BF16", "0") == "1"
+
+
 def monopole_tile_forces(xd, yd, mfd, ml_t, mxl_t, myl_t):
     """8 stencil monopole terms per slot, directly on tiles (elementwise)."""
     g = jnp.float32(G)
@@ -976,8 +987,16 @@ def monopole_tile_forces(xd, yd, mfd, ml_t, mxl_t, myl_t):
         dyl = myl_t[:, l:l + 1] - yd
         d2l = dxl * dxl + dyl * dyl
         nzl = d2l > 0.0
-        invl = jnp.where(nzl, jax.lax.rsqrt(jnp.where(nzl, d2l, 1.0)), 0.0)
-        sl = gm * cm * (invl * invl * invl)
+        if MONO_BF16:
+            d2b = jnp.where(nzl, d2l, 1.0).astype(jnp.bfloat16)
+            invb = jnp.where(nzl, jax.lax.rsqrt(d2b),
+                             jnp.bfloat16(0.0))
+            sl = (gm * cm
+                  * (invb * invb * invb).astype(jnp.float32))
+        else:
+            invl = jnp.where(nzl, jax.lax.rsqrt(jnp.where(nzl, d2l, 1.0)),
+                             0.0)
+            sl = gm * cm * (invl * invl * invl)
         fx = fx + sl * dxl
         fy = fy + sl * dyl
     return fx, fy

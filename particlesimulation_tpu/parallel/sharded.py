@@ -340,6 +340,7 @@ class ShardedEngine:
         if len(devices) < d:
             raise ValueError(f"need {d} devices, have {len(devices)}")
         self.mesh = Mesh(np.array(devices[:d]), (AXIS,))
+        self._band_plan = None  # [(row0, rows, kcap), ...] for impl="banded"
         if config.precision is Precision.PARITY:
             if not jax.config.jax_enable_x64:
                 raise RuntimeError("parity precision requires jax_enable_x64")
@@ -350,9 +351,10 @@ class ShardedEngine:
             if impl is None:
                 impl = os.environ.get("PSIM_SHARD_IMPL", "resident")
             self.impl = impl
-        if self.impl not in ("resident", "sweep"):
+        if self.impl not in ("resident", "sweep", "banded"):
             raise ValueError(
-                f"unknown sharded impl {self.impl!r}; valid: resident, sweep")
+                f"unknown sharded impl {self.impl!r}; "
+                f"valid: resident, sweep, banded")
         self.kcap = kcap
         self.capacity = (config.shard_capacity
                          or None)  # finalized at init_state from occupancy
@@ -375,14 +377,34 @@ class ShardedEngine:
             avg = max(1.0, self.config.n_particles
                       / max(1, self.config.ncells))
             self.kcap = self._round_cap(avg + 4.5 * avg ** 0.5 + 8)
+        if self.impl == "banded":
+            if self._band_plan is None:
+                # No census (state not from init_state/pack_particles):
+                # one whole-grid band at the Poisson cap — banded
+                # mechanics, resident economics; real plans arrive
+                # through pack_particles.
+                avg = max(1.0, self.config.n_particles
+                          / max(1, self.config.ncells))
+                k = self.kcap or self._round_cap(avg + 4.5 * avg ** 0.5
+                                                 + 8)
+                self._band_plan = ((0, self.config.ncside, k),)
+            self._band_plan = tuple(tuple(p) for p in self._band_plan)
+            self.kcap = max(k for _, _, k in self._band_plan)
         if self.bcap is None:
             self.bcap = max(64, cap // 2)
         key = (self.impl, cap, self.bcap,
                self.kcap if self.impl == "resident" else None,
+               self._band_plan if self.impl == "banded" else None,
                self.config.row_starts)
         if self._built_key == key and self._run is not None:
             return
-        if self.impl == "resident":
+        if self.impl == "banded":
+            from particlesimulation_tpu.parallel.sharded_banded import (
+                make_sharded_banded_run)
+            self._run = make_sharded_banded_run(
+                self.config, self.mesh, self._band_plan, cap)
+            self._step = None
+        elif self.impl == "resident":
             from particlesimulation_tpu.parallel.sharded_resident import (
                 make_sharded_resident_run)
             self._run = make_sharded_resident_run(
@@ -407,7 +429,10 @@ class ShardedEngine:
         xs, ys, vxs, vys, ms = init_particles_host(cfg)
         n = cfg.n_particles
         if (not cfg.row_starts and cfg.n_shards > 1
+                and self.impl != "banded"
                 and os.environ.get("PSIM_SHARD_BALANCE", "1") != "0"):
+            # (banded skips this: the block-cyclic chunk map balances any
+            # spatially coherent load by construction.)
             # Census-weighted row boundaries for clustered loads (the
             # planner declines uniform ones, keeping the balanced-uneven
             # default); see parallel/balance.py.
@@ -447,7 +472,32 @@ class ShardedEngine:
         in_range = ((cx >= 0) & (cx < cfg.ncside) &
                     (cy >= 0) & (cy < cfg.ncside))
         row = np.clip(cy, 0, cfg.ncside - 1)
-        shard = np.where(in_range, cfg.shard_of_row(row), 0)
+        if self.impl == "banded":
+            # Plan bands from this census, then scatter by the
+            # block-cyclic chunk map (parallel/sharded_banded.py). A
+            # declined plan (uniform occupancy) falls back to the plain
+            # resident impl — simpler and equal there.
+            if self._band_plan is None:
+                from particlesimulation_tpu.ops.banded import (
+                    plan_bands_cyclic)
+                hist = np.bincount(
+                    row * cfg.ncside + np.clip(cx, 0, cfg.ncside - 1),
+                    minlength=cfg.ncells)
+                from particlesimulation_tpu.ops import dense_xla
+                bp = plan_bands_cyclic(hist, cfg.ncside, d,
+                                       dense_xla.MAX_XLA_KCAP)
+                if bp is None:
+                    self.impl = "resident"
+                else:
+                    self._band_plan = tuple(tuple(p) for p in bp)
+        if self.impl == "banded":
+            from particlesimulation_tpu.parallel.sharded_banded import (
+                cyclic_owner_of_rows)
+            shard = np.where(
+                in_range,
+                cyclic_owner_of_rows(self._band_plan, d, row), 0)
+        else:
+            shard = np.where(in_range, cfg.shard_of_row(row), 0)
 
         counts = np.bincount(shard, minlength=d)
         if self.impl == "resident" and self.kcap is None:
@@ -588,6 +638,25 @@ class ShardedEngine:
                 deficit = need - int(CAP_OVF)
                 cap = self.capacity or self.config.resolved_shard_capacity()
                 self.capacity = self._round_cap(cap * 1.5 + deficit)
+                continue
+            if self.impl == "banded":
+                # Tile/halo-lane overflow: grow every band's capacity and
+                # replay; if growth stops converging, escalate to the
+                # sweep impl — which uses block (not cyclic) ownership,
+                # so the slab must be repacked.
+                from particlesimulation_tpu.ops import dense_xla
+                from particlesimulation_tpu.ops.banded import grow_plan
+                self._band_plan = tuple(
+                    tuple(p) for p in grow_plan(self._band_plan))
+                if (_attempt >= 2
+                        or max(k for _, _, k in self._band_plan)
+                        > dense_xla.MAX_XLA_KCAP):
+                    self.impl = "sweep"
+                    self._built_key = None
+                    g = self.gather(state)
+                    state = self.pack_particles(
+                        g, collisions=int(np.asarray(state.collisions)),
+                        panics=int(np.asarray(state.panics)))
                 continue
             if self.impl != "resident":
                 # Sweep migration overflow: emigrant buffer (bcap) or

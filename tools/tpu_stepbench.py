@@ -102,8 +102,12 @@ def main():
         hist = np.bincount(cy * cfg.ncside + cx, minlength=cfg.ncells)
         band_rows = int(os.environ.get("PSIM_BAND_ROWS", "0"))
         if band_rows:
-            # Forced equal-rows split (HBM-streaming A/B on uniform loads).
-            kc = max(32, (int(hist.max() * 1.1 + 4) + 31) // 32 * 32)
+            # Forced equal-rows split (HBM-streaming A/B on uniform loads);
+            # PSIM_KCAP pins K for apples-to-apples vs the resident impl
+            # (whose Poisson heuristic may sit below the census max —
+            # overflow retries are lossless either way).
+            kc = int(os.environ.get("PSIM_KCAP", "0")) or max(
+                32, (int(hist.max() * 1.1 + 4) + 31) // 32 * 32)
             eng._band_plan = uniform_band_plan(cfg.ncside, band_rows, kc)
         else:
             bp = plan_bands(hist, cfg.ncside, eng._max_kcap())
