@@ -774,6 +774,31 @@ class Engine:
                     if pick == "tiered":
                         self.impl = "tiered"
                         self._tier_plan = plan or self._default_tier_plan()
+                if self._impl_auto and self.impl == "resident":
+                    # HBM-streaming route for large *uniform* loads: once
+                    # the tile state far exceeds VMEM, every resident pass
+                    # round-trips HBM and the hot phases run ~1.8x over
+                    # linear (PERF.md "1e7 band streaming" — measured on
+                    # the v5e at N=1e7: resident 81.8 ms/step vs 72.4 with
+                    # 32-row uniform bands ≈ 40 MB/band; at 160 MB total
+                    # the gain is ~4%, so the route only fires above
+                    # PSIM_STREAM_BYTES, default 256 MB).
+                    kcap_est = min(self._round_cap(occ * 1.1 + 4),
+                                   self._max_kcap())
+                    row_bytes = cfg.ncside * kcap_est * 25
+                    total = cfg.ncells * kcap_est * 25
+                    stream_bytes = int(os.environ.get(
+                        "PSIM_STREAM_BYTES", str(256 << 20)))
+                    band_bytes = int(os.environ.get(
+                        "PSIM_STREAM_BAND_BYTES", str(40 << 20)))
+                    if total > stream_bytes:
+                        band_rows = max(1, band_bytes // max(1, row_bytes))
+                        if -(-cfg.ncside // band_rows) >= 2:
+                            from particlesimulation_tpu.ops.banded import (
+                                uniform_band_plan)
+                            self.impl = "banded"
+                            self._band_plan = uniform_band_plan(
+                                cfg.ncside, band_rows, kcap_est)
             # Snug slack (see _heuristic_kcap): pair-pass cost scales with
             # kcap x kb, and overflow retries are lossless.
             self.kcap = min(self._round_cap(occ * 1.1 + 4),
