@@ -31,21 +31,25 @@ def save_state(path: str, state) -> None:
 
 def save_sharded_state(path: str, state: ShardedState,
                        n_shards: int, row_starts: tuple = (),
-                       mesh_shape: tuple = ()) -> None:
+                       mesh_shape: tuple = (), band_plan: tuple = ()) -> None:
     """Serialize a ShardedState with its slab geometry.
 
     ``n_shards`` (plus ``row_starts`` when the decomposition is
-    census-weighted, parallel/balance.py, or ``mesh_shape`` when the state
-    came from the 2D rectangular engine, parallel/sharded2d.py) are
-    recorded so :func:`restore_sharded` can re-pack the flat (D*C,) slabs
-    for a different mesh geometry or capacity — slab placement encodes
-    cell ownership, so as-is placement is only legal when everything
-    matches.
+    census-weighted, parallel/balance.py; ``mesh_shape`` when the state
+    came from the 2D rectangular engine, parallel/sharded2d.py; or
+    ``band_plan`` when it came from the block-cyclic banded engine,
+    parallel/sharded_banded.py) are recorded so :func:`restore_sharded`
+    can re-pack the flat (D*C,) slabs for a different mesh geometry or
+    capacity — slab placement encodes cell ownership, so as-is placement
+    is only legal when everything matches.
     """
     arrs = {f: np.asarray(getattr(state, f)) for f in _SHARDED_FIELDS}
     arrs["n_shards"] = np.asarray(n_shards, np.int32)
     arrs["row_starts"] = np.asarray(row_starts, np.int32)
     arrs["mesh_shape"] = np.asarray(mesh_shape, np.int32)
+    arrs["band_plan"] = np.asarray(
+        [list(p) for p in band_plan] if band_plan else
+        np.zeros((0, 3)), np.int32)
     np.savez_compressed(path, **arrs)
 
 
@@ -95,6 +99,9 @@ def restore_sharded(path: str, engine, dtype=None) -> ShardedState:
                     if "row_starts" in z.files else ())
     saved_mesh = (tuple(int(v) for v in z["mesh_shape"])
                   if "mesh_shape" in z.files else ())
+    saved_plan = (tuple(tuple(int(v) for v in p) for p in z["band_plan"])
+                  if "band_plan" in z.files and len(z["band_plan"])
+                  else ())
     total = z["x"].shape[0]
     cap = engine.capacity or engine.config.resolved_shard_capacity()
     # The 2D rectangular engine (parallel/sharded2d.py) shards over both
@@ -113,10 +120,18 @@ def restore_sharded(path: str, engine, dtype=None) -> ShardedState:
     # (rows, cols) aspect for the 2D one), else a checkpoint restored
     # under different boundaries puts particles on the wrong shard (the
     # prologue would flag them as strays).
+    # The block-cyclic banded engine (parallel/sharded_banded.py) owns
+    # rows by its band plan, not by row blocks — a banded checkpoint
+    # into a non-banded engine (or plan mismatch) must re-pack.
+    engine_plan = (tuple(tuple(int(v) for v in p)
+                         for p in (getattr(engine, "_band_plan", None)
+                                   or ()))
+                   if getattr(engine, "impl", None) == "banded" else ())
     if (saved_shards == d and total == d * cap
             and saved_starts == tuple(getattr(engine.config, "row_starts",
                                               ()) or ())
-            and saved_mesh == engine_mesh):
+            and saved_mesh == engine_mesh
+            and saved_plan == engine_plan):
         def place(f, cast=None):
             a = z[f]
             return jax.device_put(

@@ -105,6 +105,41 @@ def test_sharded_checkpoint_restores_across_row_decomposition(tmp_path):
     assert int(np.asarray(b.overflow)) == 0
 
 
+def test_sharded_checkpoint_banded_to_resident_repacks(tmp_path):
+    """A checkpoint from the block-cyclic banded engine must NOT be
+    placed as-is into a block-ownership engine with identical slab
+    geometry — cyclic vs block placement would mis-own every particle
+    (regression for restore_sharded's ownership-signature check)."""
+    import jax
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    from particlesimulation_tpu.parallel.sharded import ShardedEngine
+
+    base = dict(seed=-10, side=3.0, ncside=8, n_particles=400,
+                precision=Precision.FAST)
+    eb = ShardedEngine(SimConfig(**base, n_shards=4), impl="banded")
+    eb._band_plan = ((0, 4, 96), (4, 4, 96))
+    mid = eb.run(eb.init_state(), 8)
+    path = str(tmp_path / "mid_banded.npz")
+    checkpointing.save_sharded_state(path, mid, n_shards=4,
+                                     band_plan=eb._band_plan)
+
+    er = ShardedEngine(SimConfig(**base, n_shards=4), impl="resident")
+    # Match the slab capacity so ONLY the ownership signature forces the
+    # repack (the regression this test pins).
+    er.capacity = eb.capacity
+    restored = checkpointing.restore_sharded(path, er)
+    a = eb.run(mid, 8)
+    b = er.run(restored, 8)
+    assert int(np.asarray(b.overflow)) == 0
+    assert int(np.asarray(a.collisions)) == int(np.asarray(b.collisions))
+    ga, gb = eb.gather(a), er.gather(b)
+    np.testing.assert_array_equal(ga["pid"], gb["pid"])
+    np.testing.assert_array_equal(ga["alive"], gb["alive"])
+    assert np.max(np.abs(ga["x"] - gb["x"])) < 1e-3
+    assert np.max(np.abs(ga["y"] - gb["y"])) < 1e-3
+
+
 def test_first_divergence_detects_engine_mismatch():
     base = dict(seed=1, side=100.0, ncside=5, n_particles=500)
     pe = Engine(SimConfig(**base, precision=Precision.PARITY))
