@@ -40,6 +40,7 @@ def main():
     nc = int(sys.argv[2]) if len(sys.argv) > 2 else 100
     steps = int(sys.argv[3]) if len(sys.argv) > 3 else 11
     seed = int(sys.argv[4]) if len(sys.argv) > 4 else -23
+    d = int(sys.argv[5]) if len(sys.argv) > 5 else 8
 
     base = dict(seed=seed, side=5000.0, ncside=nc, n_particles=n,
                 precision=Precision.FAST)
@@ -52,12 +53,12 @@ def main():
     print(f"single-chip banded: {per_s*1000:.1f} ms/step "
           f"(impl={se.impl}, collisions={cs})", flush=True)
 
-    me = ShardedEngine(SimConfig(**base, n_shards=8), impl="banded")
+    me = ShardedEngine(SimConfig(**base, n_shards=d), impl="banded")
     ms0 = me.init_state()
     print(f"sharded banded plan: {me._band_plan}", flush=True)
     per_m, ms = timed(me, ms0, steps)
     cm = int(np.asarray(ms.collisions))
-    print(f"sharded banded D=8: {per_m*1000:.1f} ms/step "
+    print(f"sharded banded D={d}: {per_m*1000:.1f} ms/step "
           f"(impl={me.impl}, collisions={cm}, "
           f"overflow={int(np.asarray(ms.overflow))})", flush=True)
     print(f"composition factor (sharded / single, 1 core): "
