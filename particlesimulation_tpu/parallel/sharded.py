@@ -351,10 +351,23 @@ class ShardedEngine:
             if impl is None:
                 impl = os.environ.get("PSIM_SHARD_IMPL", "resident")
             self.impl = impl
+        # Banded decomposition variant: "cols" (column-sharded, the
+        # default — see parallel/sharded_banded_cols.py for why it
+        # composes) or "cyclic" (block-cyclic rows,
+        # parallel/sharded_banded.py; kept selectable for A/B).
+        self.banded_variant = os.environ.get("PSIM_BANDED_SHARD", "cols")
+        if self.impl in ("banded-cols", "banded-cyclic"):
+            self.banded_variant = self.impl.split("-", 1)[1]
+            self.impl = "banded"
         if self.impl not in ("resident", "sweep", "banded"):
             raise ValueError(
                 f"unknown sharded impl {self.impl!r}; "
-                f"valid: resident, sweep, banded")
+                f"valid: resident, sweep, banded, banded-cols, "
+                f"banded-cyclic")
+        if self.banded_variant not in ("cols", "cyclic"):
+            raise ValueError(
+                f"unknown banded variant {self.banded_variant!r}; "
+                f"valid: cols, cyclic")
         self.kcap = kcap
         self.capacity = (config.shard_capacity
                          or None)  # finalized at init_state from occupancy
@@ -395,14 +408,21 @@ class ShardedEngine:
         key = (self.impl, cap, self.bcap,
                self.kcap if self.impl == "resident" else None,
                self._band_plan if self.impl == "banded" else None,
+               self.banded_variant if self.impl == "banded" else None,
                self.config.row_starts)
         if self._built_key == key and self._run is not None:
             return
         if self.impl == "banded":
-            from particlesimulation_tpu.parallel.sharded_banded import (
-                make_sharded_banded_run)
-            self._run = make_sharded_banded_run(
-                self.config, self.mesh, self._band_plan, cap)
+            if self.banded_variant == "cols":
+                from particlesimulation_tpu.parallel.sharded_banded_cols \
+                    import make_sharded_banded_cols_run
+                self._run = make_sharded_banded_cols_run(
+                    self.config, self.mesh, self._band_plan, cap)
+            else:
+                from particlesimulation_tpu.parallel.sharded_banded import (
+                    make_sharded_banded_run)
+                self._run = make_sharded_banded_run(
+                    self.config, self.mesh, self._band_plan, cap)
             self._step = None
         elif self.impl == "resident":
             from particlesimulation_tpu.parallel.sharded_resident import (
@@ -473,24 +493,35 @@ class ShardedEngine:
                     (cy >= 0) & (cy < cfg.ncside))
         row = np.clip(cy, 0, cfg.ncside - 1)
         if self.impl == "banded":
-            # Plan bands from this census, then scatter by the
-            # block-cyclic chunk map (parallel/sharded_banded.py). A
-            # declined plan (uniform occupancy) falls back to the plain
-            # resident impl — simpler and equal there.
+            # Plan bands from this census. The "cols" variant shards
+            # columns, so the band plan is the unquantized single-chip
+            # plan (ops/banded.plan_bands); "cyclic" needs shard-
+            # divisible band heights (plan_bands_cyclic). A declined
+            # plan (uniform occupancy) falls back to the plain resident
+            # impl — simpler and equal there.
             if self._band_plan is None:
+                from particlesimulation_tpu.ops import dense_xla
                 from particlesimulation_tpu.ops.banded import (
-                    plan_bands_cyclic)
+                    plan_bands, plan_bands_cyclic)
                 hist = np.bincount(
                     row * cfg.ncside + np.clip(cx, 0, cfg.ncside - 1),
                     minlength=cfg.ncells)
-                from particlesimulation_tpu.ops import dense_xla
-                bp = plan_bands_cyclic(hist, cfg.ncside, d,
-                                       dense_xla.MAX_XLA_KCAP)
+                if self.banded_variant == "cols":
+                    bp = plan_bands(hist, cfg.ncside,
+                                    dense_xla.MAX_XLA_KCAP)
+                else:
+                    bp = plan_bands_cyclic(hist, cfg.ncside, d,
+                                           dense_xla.MAX_XLA_KCAP)
                 if bp is None:
                     self.impl = "resident"
                 else:
                     self._band_plan = tuple(tuple(p) for p in bp)
-        if self.impl == "banded":
+        if self.impl == "banded" and self.banded_variant == "cols":
+            from particlesimulation_tpu.parallel.sharded_banded_cols \
+                import col_owner
+            col = np.clip(cx, 0, cfg.ncside - 1)
+            shard = np.where(in_range, col_owner(cfg.ncside, d, col), 0)
+        elif self.impl == "banded":
             from particlesimulation_tpu.parallel.sharded_banded import (
                 cyclic_owner_of_rows)
             shard = np.where(
@@ -673,6 +704,23 @@ class ShardedEngine:
             if _attempt >= 2 or self.kcap > dense_xla.MAX_XLA_KCAP:
                 self.impl = "sweep"
         raise RuntimeError("sharded capacity retries exhausted")
+
+    def ownership_plan(self) -> tuple:
+        """Slab-ownership signature for checkpoint as-is placement.
+
+        Column ownership ("cols" variant) depends only on the column
+        split (n_shards), so any band plan matches; block-cyclic row
+        ownership is a function of the plan itself. Non-banded impls
+        own by row block (signature ()). Used by
+        utils/checkpointing.restore_sharded — save checkpoints with
+        ``band_plan=engine.ownership_plan()`` to enable bit-exact
+        as-is resume.
+        """
+        if self.impl != "banded":
+            return ()
+        if self.banded_variant == "cols":
+            return ((-1, -1, -1),)
+        return tuple(tuple(p) for p in (self._band_plan or ()))
 
     def result(self, state: ShardedState) -> tuple[float, float, int]:
         valid = np.asarray(state.valid)

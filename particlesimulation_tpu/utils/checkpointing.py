@@ -120,13 +120,21 @@ def restore_sharded(path: str, engine, dtype=None) -> ShardedState:
     # (rows, cols) aspect for the 2D one), else a checkpoint restored
     # under different boundaries puts particles on the wrong shard (the
     # prologue would flag them as strays).
-    # The block-cyclic banded engine (parallel/sharded_banded.py) owns
-    # rows by its band plan, not by row blocks — a banded checkpoint
-    # into a non-banded engine (or plan mismatch) must re-pack.
-    engine_plan = (tuple(tuple(int(v) for v in p)
-                         for p in (getattr(engine, "_band_plan", None)
-                                   or ()))
-                   if getattr(engine, "impl", None) == "banded" else ())
+    # The banded engines own cells by their decomposition variant, not
+    # by row blocks — column split for the "cols" variant
+    # (parallel/sharded_banded_cols.py, signature ((-1,-1,-1),)), the
+    # band plan itself for block-cyclic (parallel/sharded_banded.py).
+    # A banded checkpoint into a non-banded engine (or signature
+    # mismatch) must re-pack.
+    if hasattr(engine, "ownership_plan"):
+        engine_plan = tuple(tuple(int(v) for v in p)
+                            for p in engine.ownership_plan())
+    else:
+        engine_plan = (tuple(tuple(int(v) for v in p)
+                             for p in (getattr(engine, "_band_plan", None)
+                                       or ()))
+                       if getattr(engine, "impl", None) == "banded"
+                       else ())
     if (saved_shards == d and total == d * cap
             and saved_starts == tuple(getattr(engine.config, "row_starts",
                                               ()) or ())

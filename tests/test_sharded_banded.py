@@ -1,10 +1,14 @@
-"""Block-cyclic sharded banded engine vs the single-chip resident engine.
+"""Sharded banded engines vs the single-chip resident engine.
 
 The clustered-regime composition (VERDICT r3 item 3): ops/banded.py's
-per-band capacity right-sizing on a 1D ring mesh via the block-cyclic
-chunk map (parallel/sharded_banded.py) — every shard owns 1/D of every
-band's rows, so static shapes agree across shards and load balance is
-automatic. Contract mirrors the other sharded suites: collision-count and
+per-band capacity right-sizing on a 1D ring mesh. Two decompositions
+exist: column-sharded (parallel/sharded_banded_cols.py — every shard owns
+a contiguous column range of every row band; the default) and block-cyclic
+rows (parallel/sharded_banded.py — every shard owns 1/D of every band's
+rows; kept selectable after measuring a 2.18x composition factor at D=8).
+The parametrized matrix runs whatever ``impl="banded"`` resolves to (the
+default variant); ``test_sharded_banded_variants_agree`` pins both
+explicitly. Contract mirrors the other sharded suites: collision-count and
 dead-set equality vs single-chip (the reference's same-output-as-serial
 invariant for its mpirun harness, reference mpi/run_tests.sh:41-53),
 coordinates to 1e-3, no overflow, no particle lost.
@@ -22,11 +26,11 @@ NDEV = len(jax.devices())
 needs_mesh = pytest.mark.skipif(NDEV < 8, reason="needs 8 virtual devices")
 
 
-def _pair(base, shards, steps, plan=None, **kw):
+def _pair(base, shards, steps, plan=None, impl_override="banded", **kw):
     se = Engine(SimConfig(**base), impl="resident", dense_backend="xla")
     ss = se.run(se.init_state(), steps)
-    me = ShardedEngine(SimConfig(**base, n_shards=shards), impl="banded",
-                       **kw)
+    me = ShardedEngine(SimConfig(**base, n_shards=shards),
+                       impl=impl_override, **kw)
     if plan is not None:
         me._band_plan = tuple(tuple(p) for p in plan)
     ms = me.run(me.init_state(), steps)
@@ -72,6 +76,33 @@ def test_sharded_banded_matches_single(seed, side, nc, n, steps, shards,
     se, ss, me, ms = _pair(base, shards, steps, plan=plan)
     assert me.impl == "banded", "fell off the banded path"
     _check(se, ss, me, ms, n)
+
+
+@needs_mesh
+@pytest.mark.parametrize("variant", ["banded-cols", "banded-cyclic"])
+def test_sharded_banded_variants_agree(variant):
+    """Both decomposition variants stay selectable by explicit impl name
+    and produce the single-chip answer on a migration+collision config
+    (the default-variant switch must never silently retire the other)."""
+    base = dict(seed=5893, side=0.05, ncside=16, n_particles=256,
+                precision=Precision.FAST)
+    plan = ((0, 8, 96), (8, 8, 96))  # shard-divisible: legal for both
+    se, ss, me, ms = _pair(base, 8, 12, plan=plan, impl_override=variant)
+    assert me.impl == "banded"
+    assert me.banded_variant == variant.split("-", 1)[1]
+    _check(se, ss, me, ms, 256)
+
+
+@needs_mesh
+def test_sharded_banded_cols_ragged_columns():
+    """ncside not divisible by n_shards: ragged column counts (CNT of 2
+    and 1 at nc=13, d=8) with x-direction migration across the wrap."""
+    base = dict(seed=17, side=0.12, ncside=13, n_particles=300,
+                precision=Precision.FAST)
+    se, ss, me, ms = _pair(base, 8, 20, plan=((0, 6, 96), (6, 7, 96)),
+                           impl_override="banded-cols")
+    assert me.impl == "banded" and me.banded_variant == "cols"
+    _check(se, ss, me, ms, 300)
 
 
 @needs_mesh

@@ -140,6 +140,77 @@ def test_sharded_checkpoint_banded_to_resident_repacks(tmp_path):
     assert np.max(np.abs(ga["y"] - gb["y"])) < 1e-3
 
 
+def test_sharded_checkpoint_cols_as_is_resume(tmp_path):
+    """A column-sharded banded checkpoint saved with the engine's
+    ownership signature restores AS-IS into a matching engine (bitwise
+    slab placement — the strongest resume) and continues identically."""
+    import jax
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    from particlesimulation_tpu.parallel.sharded import ShardedEngine
+
+    base = dict(seed=-10, side=3.0, ncside=8, n_particles=400,
+                precision=Precision.FAST)
+    plan = ((0, 4, 96), (4, 4, 64))  # NOT shard-divisible at d=4: cols-only
+    eb = ShardedEngine(SimConfig(**base, n_shards=4), impl="banded-cols")
+    eb._band_plan = plan
+    mid = eb.run(eb.init_state(), 8)
+    path = str(tmp_path / "mid_cols.npz")
+    assert eb.ownership_plan() == ((-1, -1, -1),)
+    checkpointing.save_sharded_state(path, mid, n_shards=4,
+                                     band_plan=eb.ownership_plan())
+
+    e2 = ShardedEngine(SimConfig(**base, n_shards=4), impl="banded-cols")
+    e2._band_plan = plan
+    e2.capacity = eb.capacity
+    restored = checkpointing.restore_sharded(path, e2)
+    # As-is placement: the restored slabs are bitwise the saved arrays.
+    np.testing.assert_array_equal(np.asarray(restored.x), np.asarray(mid.x))
+    np.testing.assert_array_equal(np.asarray(restored.pid),
+                                  np.asarray(mid.pid))
+    a = eb.run(mid, 8)
+    b = e2.run(restored, 8)
+    ga, gb = eb.gather(a), e2.gather(b)
+    for f in ("pid", "x", "y", "vx", "vy", "m", "alive"):
+        np.testing.assert_array_equal(ga[f], gb[f], err_msg=f)
+    assert int(np.asarray(a.collisions)) == int(np.asarray(b.collisions))
+
+
+def test_sharded_checkpoint_cols_to_cyclic_repacks(tmp_path):
+    """Column ownership and block-cyclic row ownership never match: a
+    cols checkpoint restored into a cyclic engine with identical slab
+    geometry must take the repack path and still continue correctly."""
+    import jax
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    from particlesimulation_tpu.parallel.sharded import ShardedEngine
+
+    base = dict(seed=-10, side=3.0, ncside=8, n_particles=400,
+                precision=Precision.FAST)
+    plan = ((0, 4, 96), (4, 4, 96))  # shard-divisible: legal for both
+    eb = ShardedEngine(SimConfig(**base, n_shards=4), impl="banded-cols")
+    eb._band_plan = plan
+    mid = eb.run(eb.init_state(), 8)
+    path = str(tmp_path / "mid_cols2.npz")
+    checkpointing.save_sharded_state(path, mid, n_shards=4,
+                                     band_plan=eb.ownership_plan())
+
+    ec = ShardedEngine(SimConfig(**base, n_shards=4), impl="banded-cyclic")
+    ec._band_plan = plan
+    ec.capacity = eb.capacity
+    assert ec.ownership_plan() == plan
+    restored = checkpointing.restore_sharded(path, ec)
+    a = eb.run(mid, 8)
+    b = ec.run(restored, 8)
+    assert int(np.asarray(b.overflow)) == 0
+    assert int(np.asarray(a.collisions)) == int(np.asarray(b.collisions))
+    ga, gb = eb.gather(a), ec.gather(b)
+    np.testing.assert_array_equal(ga["pid"], gb["pid"])
+    np.testing.assert_array_equal(ga["alive"], gb["alive"])
+    assert np.max(np.abs(ga["x"] - gb["x"])) < 1e-3
+    assert np.max(np.abs(ga["y"] - gb["y"])) < 1e-3
+
+
 def test_first_divergence_detects_engine_mismatch():
     base = dict(seed=1, side=100.0, ncside=5, n_particles=500)
     pe = Engine(SimConfig(**base, precision=Precision.PARITY))
