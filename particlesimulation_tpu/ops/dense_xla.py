@@ -78,6 +78,103 @@ def resolve_pair_impl(name: str | None = None, side: float | None = None):
     return fn
 
 
+# Sentinel range for a compact-collision hit-capacity overflow in the
+# engine overflow channel: values in [HIT_OVF, 2*HIT_OVF) encode
+# "HIT_OVF + needed flagged-slot count" (engine.RANK_OVF = 1<<30 sits
+# just above, so the three overflow kinds stay distinguishable; genuine
+# tile-capacity needs are bounded far below 1<<29).
+HIT_OVF = 1 << 29
+
+
+def resolve_collide_mode(backend: str = "xla") -> str:
+    """Collision-resolution mode for the tile engines.
+
+    ``block`` — the fused pair pass runs the first-pair rank machinery
+    inside each cell block under a hit-gated ``lax.cond`` (the round-2
+    design). ``compact`` — the pair pass emits per-slot hit-endpoint
+    flags only (one lean d² sweep, no branch machinery) and the exact
+    reference count is computed once per step by compact_collision_count
+    over the few flagged slots. Both are exact; their economics differ
+    with collision density (PERF.md "Compact collision resolution").
+    PSIM_COLLIDE overrides. Pallas kernels implement only block mode.
+    """
+    mode = os.environ.get("PSIM_COLLIDE", "block")
+    if mode not in ("block", "compact"):
+        raise ValueError(
+            f"unknown collision mode {mode!r} (PSIM_COLLIDE); "
+            f"valid: ['block', 'compact']")
+    if backend == "pallas":
+        return "block"
+    return mode
+
+
+def compact_collision_count(xf, yf, cellf, pidf, flagf, eps: float,
+                            hcap: int):
+    """Exact reference collision count from hit-endpoint flags.
+
+    Inputs are flat 1-D slot arrays in any tile layout: f32 coordinates,
+    int32 same-cell domain ids (tile row index — pairs interact only
+    within one id), int32 pid keys whose ascending order within a cell
+    equals the reference bucket order (raw pids: the blocked path's
+    pid-RANK keys are a strictly monotone per-cell transform of them, so
+    every min/lexicographic comparison agrees — order-isomorphism), and
+    the bool flags from a flags-mode fused pair pass.
+
+    The flagged slots (all hit-pair endpoints — both endpoints of any
+    hit pair are flagged by construction) are compacted into ``hcap``
+    slots with a cumsum+scatter, then one (hcap, hcap) pass applies the
+    reference set rule (serial/parsim.cpp:392-418): re-derive hit pairs
+    (same cell, d² < eps² — bit-identical f32 values, so the same pairs),
+    key each by (min pid, max pid) lexicographic, find each endpoint's
+    first pair, and count pairs that are first for BOTH endpoints —
+    exactly fused_pairs_v2's blocked rank rule.
+
+    Returns (count:int32, hovf:int32); hovf > 0 = more than hcap slots
+    flagged (count is then unreliable — callers must retry losslessly
+    with a bigger hcap; the engines encode this as HIT_OVF + hovf in
+    their overflow channel).
+    """
+    INF = jnp.int32(0x7FFFFFFF)
+    eps2 = jnp.float32(eps) * jnp.float32(eps)
+    fi = flagf.astype(jnp.int32)
+    pos = jnp.cumsum(fi) - fi                     # exclusive prefix
+    H = pos[-1] + fi[-1]
+    hovf = jnp.where(H > hcap, H, jnp.int32(0))
+    tgt = jnp.where(flagf, pos, jnp.int32(hcap))  # hcap -> dropped
+
+    def put(v, fill):
+        base = jnp.full((hcap,), fill, v.dtype)
+        return base.at[tgt].set(v, mode="drop")
+
+    cx = put(xf, jnp.float32(0.0))
+    cy = put(yf, jnp.float32(0.0))
+    cc = put(cellf, jnp.int32(-1))
+    cp = put(pidf, INF)
+    k = jnp.arange(hcap, dtype=jnp.int32)
+    vld = k < jnp.minimum(H, hcap)
+    pm = (vld[:, None] & vld[None, :]
+          & (k[:, None] < k[None, :])
+          & (cc[:, None] == cc[None, :]))
+    dx = cx[None, :] - cx[:, None]
+    dy = cy[None, :] - cy[:, None]
+    pm = pm & (dx * dx + dy * dy < eps2)
+    kmin = jnp.minimum(cp[:, None], cp[None, :])
+    kmax = jnp.maximum(cp[:, None], cp[None, :])
+    km = jnp.where(pm, kmin, INF)
+    p1 = jnp.minimum(jnp.min(km, axis=1), jnp.min(km, axis=0))
+    kx_a = jnp.where(pm & (kmin == p1[:, None]), kmax, INF)
+    kx_b = jnp.where(pm & (kmin == p1[None, :]), kmax, INF)
+    p2 = jnp.minimum(jnp.min(kx_a, axis=1), jnp.min(kx_b, axis=0))
+    first = (pm & (kmin == p1[:, None]) & (kmax == p2[:, None])
+             & (kmin == p1[None, :]) & (kmax == p2[None, :]))
+    cnt = jnp.sum(first, dtype=jnp.int32)
+    return cnt, hovf
+
+
+def default_hcap() -> int:
+    return int(os.environ.get("PSIM_HCAP", "1024"))
+
+
 def _eff_cb(cb: int, kcap: int) -> int:
     if kcap <= 192:
         return cb
@@ -242,6 +339,17 @@ def fused_pairs_v2(xd, yd, mfd, alived, ncells: int, kcap: int, eps: float,
       pair data from the (CB, K) tiles rather than closing over (CB, K, K)
       intermediates — a closed-over hit tensor becomes a branch operand
       and costs more than it saves (PERF.md round-1 note).
+    * **hit-chunk skipping** — the d² pass also records WHICH receiver
+      chunks contain a hit endpoint (a (nb_i,) flag vector); inside the
+      gated branch, the min/count candidate sweeps run per receiver chunk
+      under a per-trip ``lax.cond`` on that flag. Both endpoints of a hit
+      pair lie within ε of each other, so both are hit slots and every
+      hit pair's receiver chunk is flagged — skipped chunks contribute
+      only INF/zero, making the skip exact. This is what keeps the
+      machinery cheap on *collision-dense* workloads (the N=1e7 bench:
+      ~1.6 expected hits per block ⇒ ~80% of blocks enter the branch
+      every step, but only ~1 of nb_i receiver chunks is flagged —
+      PERF.md "1e7 pair-pass attribution", round 4).
     """
     cb = _eff_cb(cb, kcap)
     g = jnp.float32(G)
@@ -274,9 +382,21 @@ def fused_pairs_v2(xd, yd, mfd, alived, ncells: int, kcap: int, eps: float,
                 return None
             return islice(sb, i0)[:, :, None] == sb[:, None, :]
 
-        if collide:
-            # Pass 1 — hit flag only (cheapest possible pair scan).
-            def hit_body(t, anyhit):
+        if collide == "flags":
+            # Flags mode (PSIM_COLLIDE=compact): one lean d² sweep emits
+            # per-slot hit-ENDPOINT flags and NO rank machinery runs here.
+            # Deaths are exactly the flags (the reference kills every
+            # member of a cell's collision set, serial/parsim.cpp:414-418
+            # == every endpoint of some hit pair), so post-death masses —
+            # and therefore the force pass below — are bit-identical to
+            # the blocked path's. The collision COUNT (which needs the
+            # first-pair rank rule) is computed by the caller from the
+            # flags via compact_collision_count — a single tiny O(H²)
+            # pass over the few flagged slots instead of per-block branch
+            # machinery on every hit block (collision-dense workloads run
+            # ~80% of blocks through the branch every step — PERF.md
+            # "1e7 pair-pass attribution").
+            def flag_body(t, fl):
                 i0 = t * ichunk
                 xi = islice(x, i0)
                 yi = islice(y, i0)
@@ -291,9 +411,38 @@ def fused_pairs_v2(xd, yd, mfd, alived, ncells: int, kcap: int, eps: float,
                 sc = same_cell(i0)
                 if sc is not None:
                     hit = hit & sc
-                return anyhit | jnp.any(hit)
+                fl = fl | jnp.any(hit, axis=1)               # j endpoints
+                fi = islice(fl, i0) | jnp.any(hit, axis=2)   # i endpoints
+                return jax.lax.dynamic_update_slice_in_dim(fl, fi, i0,
+                                                           axis=1)
 
-            any_hit = jax.lax.fori_loop(0, trips, hit_body, jnp.bool_(False))
+            flags = jax.lax.fori_loop(0, trips, flag_body,
+                                      jnp.zeros(x.shape, jnp.bool_))
+            ft = flags
+            cnt = jnp.int32(0)
+            m_post = jnp.where(flags, jnp.float32(0.0), mf)
+        elif collide:
+            # Pass 1 — per-receiver-chunk hit flags (cheapest pair scan).
+            def hit_body(t, hc):
+                i0 = t * ichunk
+                xi = islice(x, i0)
+                yi = islice(y, i0)
+                ai = islice(alive, i0)
+                dx = x[:, None, :] - xi[:, :, None]
+                dy = y[:, None, :] - yi[:, :, None]
+                d2 = dx * dx + dy * dy
+                pa = (ai[:, :, None] * alive[:, None, :]) > 0
+                ii = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1) + i0
+                jj = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 2)
+                hit = pa & (d2 < eps2) & (jj > ii)
+                sc = same_cell(i0)
+                if sc is not None:
+                    hit = hit & sc
+                return hc.at[t].set(jnp.any(hit))
+
+            hc = jax.lax.fori_loop(0, trips, hit_body,
+                                   jnp.zeros((nb_i,), jnp.bool_))
+            any_hit = jnp.any(hc)
 
             def do_collide(_):
                 pr = (None if pd is None else _pid_ranks(pd, alive))
@@ -320,14 +469,22 @@ def fused_pairs_v2(xd, yd, mfd, alived, ncells: int, kcap: int, eps: float,
                         rank = jnp.minimum(ri, rj) * base + jnp.maximum(ri, rj)
                     return jnp.where(hit, rank, INF), hit
 
+                # Receiver chunks with no hit endpoint are skipped per
+                # trip (hc flag): a hit pair's BOTH endpoints are hit
+                # slots, so its receiver chunk is always flagged, and an
+                # unflagged chunk's candidates are all INF / fb all
+                # false — skipping is exact.
                 def min_body(t, carry):
-                    fti, ftj = carry
-                    i0 = t * ichunk
-                    cand, _ = cand_chunk(i0)
-                    fti = jax.lax.dynamic_update_slice_in_dim(
-                        fti, jnp.min(cand, axis=2), i0, axis=1)
-                    ftj = jnp.minimum(ftj, jnp.min(cand, axis=1))
-                    return fti, ftj
+                    def live(c):
+                        fti, ftj = c
+                        i0 = t * ichunk
+                        cand, _ = cand_chunk(i0)
+                        fti = jax.lax.dynamic_update_slice_in_dim(
+                            fti, jnp.min(cand, axis=2), i0, axis=1)
+                        ftj = jnp.minimum(ftj, jnp.min(cand, axis=1))
+                        return fti, ftj
+
+                    return jax.lax.cond(hc[t], live, lambda c: c, carry)
 
                 ftINF = jnp.full(x.shape, INF, dtype=jnp.int32)
                 fti, ftj = jax.lax.fori_loop(0, trips, min_body,
@@ -335,12 +492,15 @@ def fused_pairs_v2(xd, yd, mfd, alived, ncells: int, kcap: int, eps: float,
                 ft = jnp.minimum(fti, ftj)
 
                 def cnt_body(t, cnt):
-                    i0 = t * ichunk
-                    cand, hit = cand_chunk(i0)
-                    fti_c = islice(ft, i0)
-                    fb = (hit & (fti_c[:, :, None] == cand)
-                          & (ft[:, None, :] == cand))
-                    return cnt + jnp.sum(fb, dtype=jnp.int32)
+                    def live(c):
+                        i0 = t * ichunk
+                        cand, hit = cand_chunk(i0)
+                        fti_c = islice(ft, i0)
+                        fb = (hit & (fti_c[:, :, None] == cand)
+                              & (ft[:, None, :] == cand))
+                        return c + jnp.sum(fb, dtype=jnp.int32)
+
+                    return jax.lax.cond(hc[t], live, lambda c: c, cnt)
 
                 cnt = jax.lax.fori_loop(0, trips, cnt_body, jnp.int32(0))
                 return ft, cnt
@@ -595,8 +755,10 @@ def fused_pairs_v4(xd, yd, mfd, alived, ncells: int, kcap: int, eps: float,
             return islice(sb, i0)[:, :, None] == sb[:, None, :]
 
         # ---- collision machinery: identical to fused_pairs_v2 ----------
-        if collide:
-            def hit_body(t, anyhit):
+        if collide == "flags":
+            # Flags mode — see fused_pairs_v2: endpoint flags only, deaths
+            # == flags, count computed by the caller (compact rule pass).
+            def flag_body(t, fl):
                 i0 = t * ichunk
                 xi = islice(x, i0)
                 yi = islice(y, i0)
@@ -611,9 +773,37 @@ def fused_pairs_v4(xd, yd, mfd, alived, ncells: int, kcap: int, eps: float,
                 sc = same_cell(i0)
                 if sc is not None:
                     hit = hit & sc
-                return anyhit | jnp.any(hit)
+                fl = fl | jnp.any(hit, axis=1)               # j endpoints
+                fi = islice(fl, i0) | jnp.any(hit, axis=2)   # i endpoints
+                return jax.lax.dynamic_update_slice_in_dim(fl, fi, i0,
+                                                           axis=1)
 
-            any_hit = jax.lax.fori_loop(0, trips, hit_body, jnp.bool_(False))
+            flags = jax.lax.fori_loop(0, trips, flag_body,
+                                      jnp.zeros(x.shape, jnp.bool_))
+            ft = flags
+            cnt = jnp.int32(0)
+            m_post = jnp.where(flags, jnp.float32(0.0), mf)
+        elif collide:
+            def hit_body(t, hc):
+                i0 = t * ichunk
+                xi = islice(x, i0)
+                yi = islice(y, i0)
+                ai = islice(alive, i0)
+                dx = x[:, None, :] - xi[:, :, None]
+                dy = y[:, None, :] - yi[:, :, None]
+                d2 = dx * dx + dy * dy
+                pa = (ai[:, :, None] * alive[:, None, :]) > 0
+                ii = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1) + i0
+                jj = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 2)
+                hit = pa & (d2 < eps2) & (jj > ii)
+                sc = same_cell(i0)
+                if sc is not None:
+                    hit = hit & sc
+                return hc.at[t].set(jnp.any(hit))
+
+            hc = jax.lax.fori_loop(0, trips, hit_body,
+                                   jnp.zeros((nb_i,), jnp.bool_))
+            any_hit = jnp.any(hc)
 
             def do_collide(_):
                 pr = (None if pd is None else _pid_ranks(pd, alive))
@@ -642,14 +832,19 @@ def fused_pairs_v4(xd, yd, mfd, alived, ncells: int, kcap: int, eps: float,
                                 + jnp.maximum(ri, rj))
                     return jnp.where(hit, rank, INF), hit
 
+                # Per-trip hc gating: see fused_pairs_v2 (exactness
+                # argument identical — both hit endpoints are flagged).
                 def min_body(t, carry):
-                    fti, ftj = carry
-                    i0 = t * ichunk
-                    cand, _ = cand_chunk(i0)
-                    fti = jax.lax.dynamic_update_slice_in_dim(
-                        fti, jnp.min(cand, axis=2), i0, axis=1)
-                    ftj = jnp.minimum(ftj, jnp.min(cand, axis=1))
-                    return fti, ftj
+                    def live(c):
+                        fti, ftj = c
+                        i0 = t * ichunk
+                        cand, _ = cand_chunk(i0)
+                        fti = jax.lax.dynamic_update_slice_in_dim(
+                            fti, jnp.min(cand, axis=2), i0, axis=1)
+                        ftj = jnp.minimum(ftj, jnp.min(cand, axis=1))
+                        return fti, ftj
+
+                    return jax.lax.cond(hc[t], live, lambda c: c, carry)
 
                 ftINF = jnp.full(x.shape, INF, dtype=jnp.int32)
                 fti, ftj = jax.lax.fori_loop(0, trips, min_body,
@@ -657,12 +852,15 @@ def fused_pairs_v4(xd, yd, mfd, alived, ncells: int, kcap: int, eps: float,
                 ft = jnp.minimum(fti, ftj)
 
                 def cnt_body(t, cnt):
-                    i0 = t * ichunk
-                    cand, hit = cand_chunk(i0)
-                    fti_c = islice(ft, i0)
-                    fb = (hit & (fti_c[:, :, None] == cand)
-                          & (ft[:, None, :] == cand))
-                    return cnt + jnp.sum(fb, dtype=jnp.int32)
+                    def live(c):
+                        i0 = t * ichunk
+                        cand, hit = cand_chunk(i0)
+                        fti_c = islice(ft, i0)
+                        fb = (hit & (fti_c[:, :, None] == cand)
+                              & (ft[:, None, :] == cand))
+                        return c + jnp.sum(fb, dtype=jnp.int32)
+
+                    return jax.lax.cond(hc[t], live, lambda c: c, cnt)
 
                 cnt = jax.lax.fori_loop(0, trips, cnt_body, jnp.int32(0))
                 return ft, cnt

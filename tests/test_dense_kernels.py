@@ -325,3 +325,42 @@ def test_v4_quantization_study():
     t2, t4 = near_err(0.02, 0.0167)
     assert t2 < 1e-5 and t4 < 1e-5, f"tiny box errs grew: {t2:.2e}/{t4:.2e}"
     assert dense_xla.V4_MIN_SIDE > 0.05  # N1/N2 stay on v2
+
+
+def test_hit_chunk_skipping_high_chunk():
+    """Round-4 hit-chunk gating regression: the min/count candidate sweeps
+    skip receiver chunks whose hit flag is clear. Plant hit pairs ONLY in
+    high receiver chunks (and one spanning two chunks) and require exact
+    agreement with the ungated flat pass (fused_pairs v1)."""
+    import jax.numpy as jnp
+
+    from particlesimulation_tpu.config import EPSILON
+    from particlesimulation_tpu.ops import dense_xla
+
+    rng = np.random.default_rng(3)
+    ncells, kcap, ichunk = 9, 16, 4
+    x = rng.uniform(0, 10.0, (ncells, kcap)).astype(np.float32)
+    y = rng.uniform(0, 10.0, (ncells, kcap)).astype(np.float32)
+    m = rng.uniform(0.5, 2.0, (ncells, kcap)).astype(np.float32)
+    alive = np.ones((ncells, kcap), np.int32)
+    # pair entirely inside the LAST receiver chunk (slots 13,14 -> chunk 3)
+    x[2, 14] = x[2, 13] + EPSILON * 0.5
+    y[2, 14] = y[2, 13]
+    # pair spanning chunks (receiver slot 5 in chunk 1, partner slot 12):
+    # the j>i candidate lives in chunk 1; slot 12's own chunk 3 is also
+    # flagged (both endpoints are hit slots).
+    x[5, 12] = x[5, 5] + EPSILON * 0.5
+    y[5, 12] = y[5, 5]
+    pd = rng.permutation(ncells * kcap).astype(np.int32).reshape(ncells, kcap)
+    args = (jnp.asarray(x), jnp.asarray(y), jnp.asarray(m),
+            jnp.asarray(alive))
+    for pid in (None, jnp.asarray(pd)):
+        r1 = dense_xla.fused_pairs(*args, ncells, kcap, EPSILON,
+                                   cb=4, pid=pid)
+        for fn in (dense_xla.fused_pairs_v2, dense_xla.fused_pairs_v4):
+            rv = fn(*args, ncells, kcap, EPSILON, cb=4, pid=pid,
+                    ichunk=ichunk)
+            assert int(rv[2]) == int(r1[2]) == 2, fn.__name__
+            np.testing.assert_array_equal(np.asarray(rv[3]),
+                                          np.asarray(r1[3]),
+                                          err_msg=fn.__name__)
