@@ -47,6 +47,9 @@ from particlesimulation_tpu.utils import compile_cache
 # (kmax ≥ 65535) — far above any legal tile-capacity retry value so the
 # two overflow kinds cannot be confused.
 RANK_OVF = jnp.int32(1 << 30)
+# Compact-collision hit-capacity overflow range: [HIT_OVF, 2*HIT_OVF)
+# encodes HIT_OVF + needed flagged-slot count (ops/dense_xla.HIT_OVF).
+from particlesimulation_tpu.ops.dense_xla import HIT_OVF  # noqa: E402
 
 
 def make_step(config: SimConfig):
@@ -239,13 +242,20 @@ def make_dense_step(config: SimConfig, kcap: int, backend: str = "pallas"):
     return step, build_tiles, run
 
 
-def make_resident_run(config: SimConfig, kcap: int, backend: str = "xla"):
+def make_resident_run(config: SimConfig, kcap: int, backend: str = "xla",
+                      hcap: int | None = None,
+                      collide_mode: str | None = None):
     """Slot-resident fast engine: the state lives in (ncells, K) tiles.
 
     No per-step sort, no per-particle scatter/gather — rebinning moves the
     few cell-crossing particles via rolls + rank-matched one-hot matmuls
     (ops/resident.py). The only N-sized reshuffles are one scatter set at
     run start and one compaction at run end.
+
+    ``hcap``: flagged-slot capacity for compact collision resolution
+    (PSIM_COLLIDE=compact; see dense_xla.resolve_collide_mode). Overflow
+    is encoded as HIT_OVF + need in the overflow channel and retried
+    losslessly by Engine.run.
     """
     from particlesimulation_tpu.ops import resident as res
 
@@ -342,6 +352,10 @@ def make_resident_run(config: SimConfig, kcap: int, backend: str = "xla"):
         # PANIC2 particles) and never collide.
         return jnp.where(binned, ts.m, jnp.float32(0.0)), binned, limbo_count
 
+    if collide_mode is None:
+        collide_mode = _mono.resolve_collide_mode(backend)
+    eff_hcap = hcap if hcap is not None else _mono.default_hcap()
+
     def pair_pass(ts, collide: bool):
         """Fused collision(t) + pairwise-force(t+1) sweep (one d² per pair).
 
@@ -349,6 +363,9 @@ def make_resident_run(config: SimConfig, kcap: int, backend: str = "xla"):
         the positions the next step's force pass needs; forces come out with
         this pass's deaths already applied (reference ordering: merged
         particles are massless from the next step on).
+
+        Returns (fxd, fyd, count, died, hovf); hovf is nonzero only in
+        compact collision mode when more than ``hcap`` slots flagged.
         """
         mf, binned, _ = physics_mass(ts)
         ad = (binned & (ts.m > 0)).astype(jnp.int32)
@@ -377,11 +394,26 @@ def make_resident_run(config: SimConfig, kcap: int, backend: str = "xla"):
             # banded UNEVEN / 1.05x on MEDIUM), else the exact VPU v2 (the
             # fastest exact form; v3/v5 restructures measured slower).
             fused_fn = _mono.resolve_pair_impl(side=config.side)
+        if (collide and collide_mode == "compact"
+                and fused_fn in (_mono.fused_pairs_v2,
+                                 _mono.fused_pairs_v4)):
+            # Compact mode: the pair pass emits endpoint flags (== deaths,
+            # used for this pass's post-death force masses inside the
+            # kernel); the exact first-pair count runs once, globally,
+            # over the few flagged slots.
+            fxd, fyd, _, died = fused_fn(
+                ts.x, ts.y, mf, ad, ncells, kcap, EPSILON,
+                collide="flags", pid=ts.pid)
+            cellf = jax.lax.broadcasted_iota(jnp.int32, (ncells, kcap), 0)
+            count, hovf = _mono.compact_collision_count(
+                ts.x.reshape(-1), ts.y.reshape(-1), cellf.reshape(-1),
+                ts.pid.reshape(-1), died.reshape(-1), EPSILON, eff_hcap)
+            return fxd, fyd, count, died, hovf
         fxd, fyd, count, ftd = fused_fn(
             ts.x, ts.y, mf, ad, ncells, kcap, EPSILON, collide=collide,
             pid=ts.pid)
         died = ftd != INF
-        return fxd, fyd, count, died
+        return fxd, fyd, count, died, jnp.int32(0)
 
     def step(carry):
         ts, fxd, fyd = carry
@@ -418,11 +450,12 @@ def make_resident_run(config: SimConfig, kcap: int, backend: str = "xla"):
 
         # Collisions on the rebinned tiles (+ next step's pair forces when
         # fused).
+        hovf = jnp.int32(0)
         if fused and "pairs" in ablate:
             count = jnp.int32(0)
             died = jnp.zeros((ncells, kcap), bool)
         elif fused:
-            fxd, fyd, count, died = pair_pass(ts, collide=True)
+            fxd, fyd, count, died, hovf = pair_pass(ts, collide=True)
         else:
             binned2, _ = res.binned_mask(ts, side, nc)
             ad = (binned2 & (ts.m > 0)).astype(jnp.int32)
@@ -436,8 +469,13 @@ def make_resident_run(config: SimConfig, kcap: int, backend: str = "xla"):
             collisions=ts.collisions + count.astype(ts.collisions.dtype),
             panics=ts.panics + limbo_count,
             overflow=jnp.maximum(
-                ts.overflow,
-                jnp.where(undelivered > 0, jnp.int32(kcap + 1),
+                jnp.maximum(
+                    ts.overflow,
+                    jnp.where(undelivered > 0, jnp.int32(kcap + 1),
+                              jnp.int32(0))),
+                jnp.where(hovf > 0,
+                          jnp.int32(HIT_OVF)
+                          + jnp.minimum(hovf, jnp.int32(HIT_OVF - 1)),
                           jnp.int32(0))),
         )
         return ts, fxd, fyd
@@ -462,7 +500,7 @@ def make_resident_run(config: SimConfig, kcap: int, backend: str = "xla"):
 
     def initial_forces(ts):
         if fused:
-            fxd, fyd, _, _ = pair_pass(ts, collide=False)
+            fxd, fyd, _, _, _ = pair_pass(ts, collide=False)
         else:
             fxd = jnp.zeros((ncells, kcap), jnp.float32)
             fyd = fxd
@@ -528,6 +566,8 @@ class Engine:
         self._impl_auto = False
         self._tier_plan = None  # (k_small, k_big, fatcap) for impl="tiered"
         self._band_plan = None  # [(row0, rows, kcap), ...] for impl="banded"
+        self._hcap = None       # compact-collision flagged-slot capacity
+        self._collide_mode = None  # None = resolve from PSIM_COLLIDE
         if config.precision is Precision.PARITY:
             if not jax.config.jax_enable_x64:
                 raise RuntimeError(
@@ -682,13 +722,15 @@ class Engine:
                 self.impl = "sweep"
         key = (self.impl, self.kcap if self.use_dense else None,
                self._tier_plan if self.impl == "tiered" else None,
-               self._band_plan if self.impl == "banded" else None)
+               self._band_plan if self.impl == "banded" else None,
+               self._hcap, self._collide_mode)
         if self._built_key == key and self._run is not None:
             return
         if self.impl == "banded":
             from particlesimulation_tpu.ops.banded import make_banded_run
             step, prologue, run = make_banded_run(
-                self.config, self._band_plan, self.dense_backend)
+                self.config, self._band_plan, self.dense_backend,
+                hcap=self._hcap, collide_mode=self._collide_mode)
             self._run = jax.jit(run)
             self._step = lambda st: run(st, 1)
         elif self.impl == "tiered":
@@ -699,7 +741,8 @@ class Engine:
             self._run = jax.jit(run)
         elif self.impl == "resident":
             step, prologue, run = make_resident_run(
-                self.config, self.kcap, self.dense_backend)
+                self.config, self.kcap, self.dense_backend,
+                hcap=self._hcap, collide_mode=self._collide_mode)
             self._run = jax.jit(run)
             self._step = lambda st: run(st, 1)
         elif self.impl == "supercell":
@@ -846,6 +889,26 @@ class Engine:
             need = int(np.asarray(out.overflow))
             if need == 0:
                 return out
+            if int(HIT_OVF) <= need < int(RANK_OVF):
+                # Compact-collision hit capacity outgrown: more slots
+                # flagged than hcap in some step. Grow and replay
+                # losslessly (plans/kcap untouched — this is orthogonal
+                # to tile occupancy). A collision storm that would need
+                # an O(H²) pass beyond HCAP_MAX drops back to the blocked
+                # rank machinery instead (exact either way).
+                HCAP_MAX = int(os.environ.get("PSIM_HCAP_MAX", "8192"))
+                need_h = need - int(HIT_OVF)
+                from particlesimulation_tpu.ops.dense_xla import (
+                    default_hcap)
+                cur = self._hcap if self._hcap is not None else (
+                    default_hcap())
+                grown = max(cur * 4,
+                            1 << max(4, (need_h - 1).bit_length()))
+                if grown > HCAP_MAX or need_h >= int(HIT_OVF) - 1:
+                    self._collide_mode = "block"
+                else:
+                    self._hcap = grown
+                continue
             if self.impl == "banded":
                 # Band overflow (tile occupancy, halo merge, or ship cap):
                 # grow every band's capacity and replay losslessly; if

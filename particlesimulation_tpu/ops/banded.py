@@ -215,13 +215,18 @@ def grow_plan(plan, factor: float = 1.5, max_kcap: int = 1 << 30):
             for r0, rw, k in plan]
 
 
-def make_banded_run(config: SimConfig, plan, backend: str = "xla"):
+def make_banded_run(config: SimConfig, plan, backend: str = "xla",
+                    hcap: int | None = None,
+                    collide_mode: str | None = None):
     """Fast f32 step over row-banded resident tiles.
 
     ``plan``: [(row0, rows, kcap), ...] contiguous over the grid rows.
     Same step sequencing as engine.make_resident_run (reference
     serial/parsim.cpp:422-448): carried post-move pair forces, fused
     collision(t) + pair-force(t+1) pass per band.
+
+    ``hcap``: per-band flagged-slot capacity for compact collision
+    resolution (PSIM_COLLIDE=compact; dense_xla.resolve_collide_mode).
     """
     side = config.side
     nc = config.ncside
@@ -425,13 +430,37 @@ def make_banded_run(config: SimConfig, plan, backend: str = "xla"):
                 for t in (ml, mxl, myl)))
         return out
 
+    # Banded pair passes always run the dense_xla fused fns (fused_fn
+    # above), so compact mode stays available on any engine backend.
+    if collide_mode is None:
+        collide_mode = dmod.resolve_collide_mode("xla")
+    eff_hcap = hcap if hcap is not None else dmod.default_hcap()
+
     def pair_pass(ts: res.TileState, b: int, collide: bool):
+        """Returns (fxd, fyd, count, died, hovf); hovf is nonzero only
+        in compact collision mode (more than hcap slots flagged)."""
         mf, binned, _ = physics_mass(ts, b)
         ad = (binned & (ts.m > 0)).astype(jnp.int32)
+        if (collide and collide_mode == "compact"
+                and fused_fn in (dmod.fused_pairs_v2,
+                                 dmod.fused_pairs_v4)):
+            # Compact mode (see engine.make_resident_run.pair_pass): the
+            # kernel emits endpoint flags == deaths; the exact first-pair
+            # count runs once per band over the few flagged slots. Tile
+            # rows (incl. the band's halo rows) are the same-cell domain.
+            kb = bands[b][2]
+            fxd, fyd, _, died = fused_fn(
+                ts.x, ts.y, mf, ad, NCT[b], kb, EPSILON,
+                collide="flags", pid=ts.pid)
+            cellf = jax.lax.broadcasted_iota(jnp.int32, (NCT[b], kb), 0)
+            count, hovf = dmod.compact_collision_count(
+                ts.x.reshape(-1), ts.y.reshape(-1), cellf.reshape(-1),
+                ts.pid.reshape(-1), died.reshape(-1), EPSILON, eff_hcap)
+            return fxd, fyd, count, died, hovf
         fxd, fyd, count, ftd = fused_fn(
             ts.x, ts.y, mf, ad, NCT[b], bands[b][2], EPSILON,
             collide=collide, pid=ts.pid)
-        return fxd, fyd, count, ftd != INF
+        return fxd, fyd, count, ftd != INF, jnp.int32(0)
 
     # ---- step --------------------------------------------------------
     def step(carry):
@@ -464,13 +493,15 @@ def make_banded_run(config: SimConfig, plan, backend: str = "xla"):
 
         fxs2, fys2 = [], []
         count = jnp.int32(0)
+        hovf = jnp.int32(0)
         for b in range(B):
             if ablate == "pairs":
                 fxd = jnp.zeros_like(bl[b].x)
                 fyd, cnt = fxd, jnp.int32(0)
                 died = jnp.zeros(bl[b].occ.shape, bool)
             else:
-                fxd, fyd, cnt, died = pair_pass(bl[b], b, collide=True)
+                fxd, fyd, cnt, died, ho = pair_pass(bl[b], b, collide=True)
+                hovf = jnp.maximum(hovf, ho)
             bl[b] = bl[b]._replace(
                 m=jnp.where(died, jnp.float32(0.0), bl[b].m))
             fxs2.append(fxd)
@@ -480,6 +511,11 @@ def make_banded_run(config: SimConfig, plan, backend: str = "xla"):
         coll = coll + count
         panics = panics + sum(limbos)
         ovf = jnp.maximum(ovf, jnp.where(und > 0, und, 0))
+        ovf = jnp.maximum(
+            ovf, jnp.where(hovf > 0,
+                           jnp.int32(dmod.HIT_OVF)
+                           + jnp.minimum(hovf, jnp.int32(dmod.HIT_OVF - 1)),
+                           jnp.int32(0)))
         return (tuple(bl), tuple(fxs2), tuple(fys2), coll, panics, ovf)
 
     # ---- prologue / epilogue -------------------------------------------
@@ -570,7 +606,7 @@ def make_banded_run(config: SimConfig, plan, backend: str = "xla"):
     def initial_forces(bl):
         fxs, fys = [], []
         for b in range(B):
-            fxd, fyd, _, _ = pair_pass(bl[b], b, collide=False)
+            fxd, fyd, _, _, _ = pair_pass(bl[b], b, collide=False)
             fxs.append(fxd)
             fys.append(fyd)
         return tuple(fxs), tuple(fys)
