@@ -322,17 +322,15 @@ def make_resident_run(config: SimConfig, kcap: int, backend: str = "xla",
     # phases; results are wrong).
     ablate = set(os.environ.get("PSIM_ABLATE", "").split(","))
 
-    # Rebin backend: the Pallas kernel keeps the delivery transport
-    # VMEM-resident (the XLA round is at its fusion floor — PERF.md
-    # "Rebin cost attribution"); opt-in via PSIM_REBIN_BACKEND=pallas
-    # until silicon-validated, single-chip square-grid layout only.
-    from particlesimulation_tpu.ops.pallas import rebin_tile
-    if (os.environ.get("PSIM_REBIN_BACKEND", "xla") == "pallas"
-            and rebin_tile.supported(nc, None, None)):
-        rebin_fn = rebin_tile.rebin
-    else:
-        def rebin_fn(ts, side, nc, kcap):
-            return res.rebin(ts, side, nc, kcap)
+    # Rebin backend: XLA delivery rounds (ops/resident.rebin). A Pallas
+    # VMEM-resident rebin kernel was built (round 2), silicon-validated
+    # for correctness, and RETIRED in round 5 after two measured losses:
+    # 28.8 ms/step vs ~4 ms XLA at the N=1e6 bench (round 2) and the
+    # round-4 block-prefetch variant's 80.7 vs 72.4 ms at 1e7 — the
+    # delivery transport is at XLA's fusion floor, not a staging gap
+    # (PERF.md "Pallas rebin kernel: retired").
+    def rebin_fn(ts, side, nc, kcap):
+        return res.rebin(ts, side, nc, kcap)
 
     def mono_tables(ts, mf):
         # COM + stencil from the tiles (row reductions only).
@@ -720,17 +718,31 @@ class Engine:
                 self.kcap = max(self.kcap, self._round_cap(need))
             if self.kcap > self._max_kcap():
                 self.impl = "sweep"
+        # Resolve the env-driven collision knobs NOW and key the build on
+        # the resolved values: PSIM_COLLIDE/PSIM_HCAP flips between run()
+        # calls on a live Engine must trigger a rebuild, not silently
+        # reuse the previously compiled mode/hcap (advisor, round 4).
+        from particlesimulation_tpu.ops import dense_xla as _dx
+        if self.impl in ("resident", "banded"):
+            cm_backend = ("xla" if self.impl == "banded"
+                          else self.dense_backend)
+            eff_collide = (self._collide_mode
+                           or _dx.resolve_collide_mode(cm_backend))
+            eff_hcap = (self._hcap if self._hcap is not None
+                        else _dx.default_hcap())
+        else:
+            eff_collide, eff_hcap = None, None
         key = (self.impl, self.kcap if self.use_dense else None,
                self._tier_plan if self.impl == "tiered" else None,
                self._band_plan if self.impl == "banded" else None,
-               self._hcap, self._collide_mode)
+               eff_hcap, eff_collide)
         if self._built_key == key and self._run is not None:
             return
         if self.impl == "banded":
             from particlesimulation_tpu.ops.banded import make_banded_run
             step, prologue, run = make_banded_run(
                 self.config, self._band_plan, self.dense_backend,
-                hcap=self._hcap, collide_mode=self._collide_mode)
+                hcap=eff_hcap, collide_mode=eff_collide)
             self._run = jax.jit(run)
             self._step = lambda st: run(st, 1)
         elif self.impl == "tiered":
@@ -742,7 +754,7 @@ class Engine:
         elif self.impl == "resident":
             step, prologue, run = make_resident_run(
                 self.config, self.kcap, self.dense_backend,
-                hcap=self._hcap, collide_mode=self._collide_mode)
+                hcap=eff_hcap, collide_mode=eff_collide)
             self._run = jax.jit(run)
             self._step = lambda st: run(st, 1)
         elif self.impl == "supercell":

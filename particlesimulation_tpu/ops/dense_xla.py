@@ -308,9 +308,17 @@ def fused_pairs(xd, yd, mfd, alived, ncells: int, kcap: int, eps: float,
 
 
 def fused_pairs_v2(xd, yd, mfd, alived, ncells: int, kcap: int, eps: float,
-                   collide: bool = True, cb: int = CELL_BLOCK, pid=None,
-                   ichunk: int | None = None, sub=None):
+                   collide: bool | str = True, cb: int = CELL_BLOCK,
+                   pid=None, ichunk: int | None = None, sub=None):
     """Occupancy-adaptive fused pair pass (same contract as fused_pairs).
+
+    ``collide`` is mode-typed: ``True``/``False`` run/skip the blocked
+    first-pair rank machinery and return int32 first-pair ranks (INF =
+    no hit) in the 4th slot; the sentinel string ``"flags"`` (compact
+    collision resolution, PSIM_COLLIDE=compact) instead returns **bool
+    hit-endpoint flags** in that slot with the count fixed at 0 — the
+    caller derives deaths directly from the flags and computes the exact
+    count via ``compact_collision_count``.
 
     ``sub`` (optional int32 (ncells, K) tiles): same-cell labels for
     super-cell rows (ops/supercell.py), where one tile row covers S²
@@ -705,9 +713,10 @@ def fused_pairs_v3(xd, yd, mfd, alived, ncells: int, kcap: int, eps: float,
 
 
 def fused_pairs_v4(xd, yd, mfd, alived, ncells: int, kcap: int, eps: float,
-                   collide: bool = True, cb: int = CELL_BLOCK, pid=None,
-                   ichunk: int | None = None, sub=None):
-    """MXU-form pair pass (same contract as fused_pairs_v2).
+                   collide: bool | str = True, cb: int = CELL_BLOCK,
+                   pid=None, ichunk: int | None = None, sub=None):
+    """MXU-form pair pass (same contract as fused_pairs_v2, including
+    the ``collide="flags"`` mode's bool-endpoint-flag return).
 
     Rewrites the force reduction as two contractions per chunk:
 

@@ -12,7 +12,7 @@ run() {
   local tag="$1"; shift
   echo "== $tag  [$(date +%H:%M:%S)]"
   "$@" 2>&1 | tail -5
-  echo "exit=$?"
+  echo "exit=${PIPESTATUS[0]}"
 }
 
 {
