@@ -341,6 +341,8 @@ class ShardedEngine:
             raise ValueError(f"need {d} devices, have {len(devices)}")
         self.mesh = Mesh(np.array(devices[:d]), (AXIS,))
         self._band_plan = None  # [(row0, rows, kcap), ...] for impl="banded"
+        self._impl_auto = False
+        self._sc_factor = None  # super-cell S for impl="supercell"
         if config.precision is Precision.PARITY:
             if not jax.config.jax_enable_x64:
                 raise RuntimeError("parity precision requires jax_enable_x64")
@@ -349,7 +351,28 @@ class ShardedEngine:
         else:
             self.dtype = jnp.float32
             if impl is None:
-                impl = os.environ.get("PSIM_SHARD_IMPL", "resident")
+                impl = os.environ.get("PSIM_SHARD_IMPL")
+            self._impl_auto = impl is None
+            if impl is None:
+                # Census auto-routing, mirroring the single-chip engine
+                # (engine.Engine.init_state): the sparse regime routes to
+                # super-cell tiles here (config-static), the clustered
+                # regime to banded in pack_particles (needs the census),
+                # everything else stays resident. The reference runs every
+                # workload distributed under the one binary
+                # (mpi/run_tests.sh:8-16); auto-routing is how this
+                # framework matches that without a flag.
+                impl = "resident"
+                avg = config.n_particles / max(1, config.ncells)
+                if avg < 1.5:
+                    from particlesimulation_tpu.ops.supercell import (
+                        choose_supercell_factor)
+                    from particlesimulation_tpu.parallel.sharded_supercell \
+                        import supercell_shard_viable
+                    s = choose_supercell_factor(config)
+                    if supercell_shard_viable(config, s):
+                        impl = "supercell"
+                        self._sc_factor = s
             self.impl = impl
         # Banded decomposition variant: "cols" (column-sharded, the
         # default — see parallel/sharded_banded_cols.py for why it
@@ -359,11 +382,29 @@ class ShardedEngine:
         if self.impl in ("banded-cols", "banded-cyclic"):
             self.banded_variant = self.impl.split("-", 1)[1]
             self.impl = "banded"
-        if self.impl not in ("resident", "sweep", "banded"):
+        if self.impl not in ("resident", "sweep", "banded", "supercell"):
             raise ValueError(
                 f"unknown sharded impl {self.impl!r}; "
                 f"valid: resident, sweep, banded, banded-cols, "
-                f"banded-cyclic")
+                f"banded-cyclic, supercell")
+        if self.impl == "supercell" and self._sc_factor is None:
+            # Explicitly requested: derive S; decline to resident when the
+            # layout doesn't apply (non-divisor S or nsc < n_shards).
+            from particlesimulation_tpu.ops.supercell import (
+                choose_supercell_factor)
+            from particlesimulation_tpu.parallel.sharded_supercell import (
+                supercell_shard_viable)
+            s = choose_supercell_factor(config)
+            if s is not None and not supercell_shard_viable(config, s):
+                # Try the largest divisor factor that keeps nsc >= d.
+                s = next((f for f in range(s, 1, -1)
+                          if config.ncside % f == 0
+                          and config.ncside // f >= max(2, config.n_shards)),
+                         None)
+            if supercell_shard_viable(config, s):
+                self._sc_factor = s
+            else:
+                self.impl = "resident"
         if self.banded_variant not in ("cols", "cyclic"):
             raise ValueError(
                 f"unknown banded variant {self.banded_variant!r}; "
@@ -390,6 +431,11 @@ class ShardedEngine:
             avg = max(1.0, self.config.n_particles
                       / max(1, self.config.ncells))
             self.kcap = self._round_cap(avg + 4.5 * avg ** 0.5 + 8)
+        if self.impl == "supercell" and self.kcap is None:
+            s = self._sc_factor
+            nsc = self.config.ncside // s
+            avg = max(1.0, self.config.n_particles / max(1, nsc * nsc))
+            self.kcap = self._round_cap(avg + 4.5 * avg ** 0.5 + 8)
         if self.impl == "banded":
             if self._band_plan is None:
                 # No census (state not from init_state/pack_particles):
@@ -406,9 +452,10 @@ class ShardedEngine:
         if self.bcap is None:
             self.bcap = max(64, cap // 2)
         key = (self.impl, cap, self.bcap,
-               self.kcap if self.impl == "resident" else None,
+               self.kcap if self.impl in ("resident", "supercell") else None,
                self._band_plan if self.impl == "banded" else None,
                self.banded_variant if self.impl == "banded" else None,
+               self._sc_factor if self.impl == "supercell" else None,
                self.config.row_starts)
         if self._built_key == key and self._run is not None:
             return
@@ -430,6 +477,12 @@ class ShardedEngine:
             self._run = make_sharded_resident_run(
                 self.config, self.mesh, self.kcap, cap)
             self._step = None
+        elif self.impl == "supercell":
+            from particlesimulation_tpu.parallel.sharded_supercell import (
+                make_sharded_supercell_run)
+            self._run = make_sharded_supercell_run(
+                self.config, self.mesh, self.kcap, cap, self._sc_factor)
+            self._step = None
         else:
             self._step = make_sharded_step(self.config, self.mesh, cap,
                                            self.bcap)
@@ -437,6 +490,62 @@ class ShardedEngine:
                 lambda s, nsteps: jax.lax.fori_loop(
                     0, nsteps, lambda i, st: self._step(st), s))
         self._built_key = key
+
+    def _census_route(self, hist) -> None:
+        """One-shot clustered/streaming census routing (auto impl only).
+
+        The mesh analog of engine.Engine.init_state's routing: a hot cell
+        >> the distribution's bulk routes to the banded engine — on the
+        mesh, the column-sharded variant (parallel/sharded_banded_cols
+        .py), whose band plan is the unquantized single-chip plan. The
+        reference's UNEVEN workload under mpirun pays a ~2x row-split
+        imbalance (CPD_2nd_delivery.pdf p.6); here ``UNEVEN --mesh D``
+        lands on banded-cols with no --impl flag. Uniform loads whose
+        per-shard resident tile state would exceed PSIM_STREAM_BYTES get
+        uniform streaming bands instead (PERF.md "1e7 band streaming") —
+        columns are the mesh axis, so the band plan composes unchanged.
+        The sparse regime routed to supercell in __init__ (config-static).
+        """
+        if not self._impl_auto or self.impl != "resident":
+            self._impl_auto = False
+            return
+        self._impl_auto = False
+        cfg = self.config
+        d = cfg.n_shards
+        hist = np.asarray(hist)
+        from particlesimulation_tpu.ops import dense_xla
+        from particlesimulation_tpu.ops.tiered import plan_tiers
+        tplan = plan_tiers(hist, cfg.ncells, dense_xla.MAX_XLA_KCAP)
+        if tplan is not None and tplan[-1][0] >= 2 * tplan[0][0]:
+            if self.banded_variant == "cols":
+                from particlesimulation_tpu.ops.banded import plan_bands
+                bp = plan_bands(hist, cfg.ncside, dense_xla.MAX_XLA_KCAP)
+            else:
+                from particlesimulation_tpu.ops.banded import (
+                    plan_bands_cyclic)
+                bp = plan_bands_cyclic(hist, cfg.ncside, d,
+                                       dense_xla.MAX_XLA_KCAP)
+            if bp is not None:
+                self.impl = "banded"
+                self._band_plan = tuple(tuple(p) for p in bp)
+                return
+        occ = int(hist.max()) if hist.size else 1
+        kcap_est = self._round_cap(occ * 1.1 + 4)
+        shard_bytes = cfg.ncells * kcap_est * 25 // d
+        stream_bytes = int(os.environ.get(
+            "PSIM_STREAM_BYTES", str(256 << 20)))
+        band_bytes = int(os.environ.get(
+            "PSIM_STREAM_BAND_BYTES", str(40 << 20)))
+        if shard_bytes > stream_bytes:
+            row_bytes = max(1, (cfg.ncside // max(1, d)) * kcap_est * 25)
+            band_rows = max(1, band_bytes // row_bytes)
+            if -(-cfg.ncside // band_rows) >= 2:
+                from particlesimulation_tpu.ops.banded import (
+                    uniform_band_plan)
+                self.impl = "banded"
+                self.banded_variant = "cols"
+                self._band_plan = uniform_band_plan(
+                    cfg.ncside, band_rows, kcap_est)
 
     def init_state(self) -> ShardedState:
         """Host init, then scatter by owner row-block into per-shard slabs.
@@ -448,8 +557,19 @@ class ShardedEngine:
         cfg = self.config
         xs, ys, vxs, vys, ms = init_particles_host(cfg)
         n = cfg.n_particles
+        if self._impl_auto:
+            # Route BEFORE balance planning: clustered loads go banded
+            # (which ignores row boundaries), so balance only plans for
+            # loads that stay on the row-block impls.
+            w = cfg.side / cfg.ncside
+            hx = np.clip((np.asarray(xs) / w).astype(np.int64), 0,
+                         cfg.ncside - 1)
+            hy = np.clip((np.asarray(ys) / w).astype(np.int64), 0,
+                         cfg.ncside - 1)
+            self._census_route(np.bincount(hy * cfg.ncside + hx,
+                                           minlength=cfg.ncells))
         if (not cfg.row_starts and cfg.n_shards > 1
-                and self.impl != "banded"
+                and self.impl not in ("banded", "supercell")
                 and os.environ.get("PSIM_SHARD_BALANCE", "1") != "0"):
             # (banded skips this: the block-cyclic chunk map balances any
             # spatially coherent load by construction.)
@@ -492,6 +612,10 @@ class ShardedEngine:
         in_range = ((cx >= 0) & (cx < cfg.ncside) &
                     (cy >= 0) & (cy < cfg.ncside))
         row = np.clip(cy, 0, cfg.ncside - 1)
+        self._census_route(np.bincount(
+            row[in_range] * cfg.ncside
+            + np.clip(cx[in_range], 0, cfg.ncside - 1),
+            minlength=cfg.ncells))
         if self.impl == "banded":
             # Plan bands from this census. The "cols" variant shards
             # columns, so the band plan is the unquantized single-chip
@@ -527,10 +651,29 @@ class ShardedEngine:
             shard = np.where(
                 in_range,
                 cyclic_owner_of_rows(self._band_plan, d, row), 0)
+        elif self.impl == "supercell":
+            from particlesimulation_tpu.parallel.sharded_supercell import (
+                sc_row_starts)
+            s = self._sc_factor
+            nsc = cfg.ncside // s
+            starts = np.asarray(sc_row_starts(nsc, d))
+            scrow = np.clip(row // s, 0, nsc - 1)
+            shard = np.where(
+                in_range,
+                np.clip(np.searchsorted(starts, scrow, side="right") - 1,
+                        0, d - 1), 0)
         else:
             shard = np.where(in_range, cfg.shard_of_row(row), 0)
 
         counts = np.bincount(shard, minlength=d)
+        if self.impl == "supercell" and self.kcap is None:
+            s = self._sc_factor
+            nsc = cfg.ncside // s
+            occ = np.bincount(
+                np.clip(cy // s, 0, nsc - 1) * nsc
+                + np.clip(cx // s, 0, nsc - 1),
+                minlength=nsc * nsc).max()
+            self.kcap = self._round_cap(occ * 1.1 + 4)
         if self.impl == "resident" and self.kcap is None:
             # Occupancy-informed tile capacity (host-side, no readback);
             # overflow retries are lossless, so size snugly — pair-pass
@@ -689,20 +832,30 @@ class ShardedEngine:
                         g, collisions=int(np.asarray(state.collisions)),
                         panics=int(np.asarray(state.panics)))
                 continue
-            if self.impl != "resident":
+            if self.impl not in ("resident", "supercell"):
                 # Sweep migration overflow: emigrant buffer (bcap) or
                 # landing-slot exhaustion — grow both and replay.
                 cap = self.capacity or self.config.resolved_shard_capacity()
                 self.capacity = self._round_cap(cap * 1.5 + need)
                 self.bcap = self._round_cap((self.bcap or 64) * 2 + need)
                 continue
-            # Resident tile occupancy outgrew the grid: larger tiles,
-            # sized to the observed occupancy when it exceeds plain growth.
+            # Resident/super-cell tile occupancy outgrew the grid: larger
+            # tiles, sized to the observed occupancy when it exceeds
+            # plain growth.
             self.kcap = max(self._round_cap(need * 1.25 + 1),
                             self._round_cap(self.kcap * 1.5))
             from particlesimulation_tpu.ops import dense_xla
             if _attempt >= 2 or self.kcap > dense_xla.MAX_XLA_KCAP:
+                was_supercell = self.impl == "supercell"
                 self.impl = "sweep"
+                if was_supercell:
+                    # Super-cell slabs own by SUPER-row block; the sweep
+                    # owns by cell-row block — repack.
+                    self._built_key = None
+                    g = self.gather(state)
+                    state = self.pack_particles(
+                        g, collisions=int(np.asarray(state.collisions)),
+                        panics=int(np.asarray(state.panics)))
         raise RuntimeError("sharded capacity retries exhausted")
 
     def ownership_plan(self) -> tuple:
@@ -716,6 +869,9 @@ class ShardedEngine:
         ``band_plan=engine.ownership_plan()`` to enable bit-exact
         as-is resume.
         """
+        if self.impl == "supercell":
+            # Super-row block ownership: a function of (S, n_shards) only.
+            return ((-2, int(self._sc_factor or 0), -2),)
         if self.impl != "banded":
             return ()
         if self.banded_variant == "cols":
