@@ -53,7 +53,9 @@ def main(argv: list[str] | None = None) -> int:
             "Usage: python -m particlesimulation_tpu <seed> <side_length> "
             "<grid_size> <n_particles> <n_timesteps> "
             "[--engine parity|fast] [--mesh N|RxC] "
-            "[--impl resident|dense|sweep]",
+            "[--impl resident|dense|sweep|banded|supercell|tiered] "
+            "(mesh impls: resident|sweep|banded|banded-cyclic|supercell; "
+            "default: census auto-route)",
             file=sys.stderr,
         )
         return 1
@@ -100,7 +102,9 @@ def main(argv: list[str] | None = None) -> int:
     elif mesh > 1:
         from particlesimulation_tpu.parallel.sharded import ShardedEngine
         # Parity precision always runs the sweep slab impl (ShardedEngine
-        # forces it); in fast precision --impl selects resident|sweep.
+        # forces it); in fast precision --impl selects
+        # resident|sweep|banded|banded-cyclic|supercell, and no --impl
+        # census auto-routes exactly like the single chip (round 5).
         eng = ShardedEngine(config, impl=impl)
     else:
         from particlesimulation_tpu.engine import Engine

@@ -566,6 +566,7 @@ class Engine:
         self._band_plan = None  # [(row0, rows, kcap), ...] for impl="banded"
         self._hcap = None       # compact-collision flagged-slot capacity
         self._collide_mode = None  # None = resolve from PSIM_COLLIDE
+        self._fused_off = False  # SHIP_OVF retry disables the fused step
         if config.precision is Precision.PARITY:
             if not jax.config.jax_enable_x64:
                 raise RuntimeError(
@@ -732,17 +733,27 @@ class Engine:
                         else _dx.default_hcap())
         else:
             eff_collide, eff_hcap = None, None
+        # Band-major fused step (ops/banded.make_banded_run(fused=True)):
+        # default OFF — the r5 silicon A/B measured it perf-NEUTRAL at
+        # N=1e7 (77.9 vs 78.3 ms/step same-session) at 4x the compile
+        # time, so the phase-major general step stays the default
+        # (PERF.md "Band-major rebin+pairs fusion"). PSIM_BANDED_FUSED=1
+        # opts in; a SHIP_OVF retry (see run()) sets _fused_off for this
+        # engine. Resolved here so env flips rebuild (advisor, round 4).
+        eff_fused = (self.impl == "banded"
+                     and not self._fused_off
+                     and os.environ.get("PSIM_BANDED_FUSED", "0") == "1")
         key = (self.impl, self.kcap if self.use_dense else None,
                self._tier_plan if self.impl == "tiered" else None,
                self._band_plan if self.impl == "banded" else None,
-               eff_hcap, eff_collide)
+               eff_hcap, eff_collide, eff_fused)
         if self._built_key == key and self._run is not None:
             return
         if self.impl == "banded":
             from particlesimulation_tpu.ops.banded import make_banded_run
             step, prologue, run = make_banded_run(
                 self.config, self._band_plan, self.dense_backend,
-                hcap=eff_hcap, collide_mode=eff_collide)
+                hcap=eff_hcap, collide_mode=eff_collide, fused=eff_fused)
             self._run = jax.jit(run)
             self._step = lambda st: run(st, 1)
         elif self.impl == "tiered":
@@ -920,6 +931,15 @@ class Engine:
                     self._collide_mode = "block"
                 else:
                     self._hcap = grown
+                continue
+            from particlesimulation_tpu.ops.banded import SHIP_OVF
+            if (self.impl == "banded"
+                    and int(SHIP_OVF) <= need < int(HIT_OVF)):
+                # Fused-step ship pending: a mover crossed >1 band
+                # boundary in one step, beyond the fused step's single
+                # unrolled exchange. Replay on the general while_loop
+                # shipping step (plans/kcap untouched) — lossless.
+                self._fused_off = True
                 continue
             if self.impl == "banded":
                 # Band overflow (tile occupancy, halo merge, or ship cap):

@@ -69,6 +69,16 @@ INF = jnp.int32(0x7FFFFFFF)
 # of (nc, K_dst, K_src). Per-cell per-round crossers beyond W flag
 # overflow (lossless retry; the attempt's result is discarded).
 HALO_W = int(os.environ.get("PSIM_BAND_HALO_W", "64"))
+# Fused-step ship-pending cause code: the band-major fused step (see
+# make_banded_run(fused=True)) unrolls exactly ONE cross-band halo
+# exchange; a mover still in a halo row after it (crossed >1 band
+# boundary in one step — impossible at physical step sizes with >=2-row
+# bands, possible for fast movers on thin bands) flags
+# SHIP_OVF + pending and the engine replays the run on the general
+# while_loop shipping step — lossless, the same protocol as every other
+# capacity retry. Sits below dense_xla.HIT_OVF (1 << 29) and
+# engine.RANK_OVF (1 << 30) so the engine ladder can dispatch on range.
+SHIP_OVF = 1 << 27
 
 
 def _round32(x: float) -> int:
@@ -217,7 +227,8 @@ def grow_plan(plan, factor: float = 1.5, max_kcap: int = 1 << 30):
 
 def make_banded_run(config: SimConfig, plan, backend: str = "xla",
                     hcap: int | None = None,
-                    collide_mode: str | None = None):
+                    collide_mode: str | None = None,
+                    fused: bool = False):
     """Fast f32 step over row-banded resident tiles.
 
     ``plan``: [(row0, rows, kcap), ...] contiguous over the grid rows.
@@ -227,6 +238,19 @@ def make_banded_run(config: SimConfig, plan, backend: str = "xla",
 
     ``hcap``: per-band flagged-slot capacity for compact collision
     resolution (PSIM_COLLIDE=compact; dense_xla.resolve_collide_mode).
+
+    ``fused``: band-major phase fusion — integrate(b)+rebin(b) and
+    rebin(b)+pairs(b) run adjacently per band with ONE unrolled halo
+    exchange in between, instead of the phase-major global barriers
+    (integrate all; while_loop{ship all}; pair all). Identical physics
+    when one exchange suffices (the common case: crossing two band
+    boundaries in one step needs a >band-height hop); otherwise flags
+    ``SHIP_OVF`` and the engine replays on the general step. Motive:
+    PERF.md "Roofline of the hot phases" — at N=1e7 both hot phases run
+    ~1.8x over linear because every global phase barrier forces the full
+    ~400 MB tile state through HBM; band-major adjacency gives XLA's
+    memory-space assignment a ~40 MB/band live set it can keep in VMEM
+    across the phase pair.
     """
     side = config.side
     nc = config.ncside
@@ -341,6 +365,43 @@ def make_banded_run(config: SimConfig, plan, backend: str = "xla",
             ovf = ovf + und
         return tuple(out), ovf
 
+    def exchange_once(bl, ovf):
+        """One cross-band halo exchange: extract every band's halo rows,
+        clear them, merge into the neighbors' edge rows. Returns
+        (bands, ovf) with halo_w drops and merge overflow accumulated."""
+        bl = list(bl)
+
+        def take(row, b):
+            # Packed-prefix halo slice (see HALO_W); occupants beyond
+            # the lane budget are dropped from this attempt and
+            # flagged, so the engine replays with a grown plan.
+            w = min(halo_w, bands[b][2])
+            dropped = jnp.sum(row["occ"][:, w:], dtype=jnp.int32)
+            return {f: v[:, :w] for f, v in row.items()}, dropped
+
+        tops, bots = [], []
+        for b in range(B):
+            t, d1 = take(extract_row(bl[b], 0, b), b)
+            bo, d2 = take(extract_row(bl[b], NROWS[b] - 1, b), b)
+            tops.append(t)
+            bots.append(bo)
+            ovf = ovf + d1 + d2
+        bl = [clear_halos(bl[b], b) for b in range(B)]
+        for b in range(B):
+            # band b's top halo (global row row0-1) -> previous band's
+            # last real row; bottom halo (row0+rows) -> next band's
+            # first real row. The ring closes periodically (band 0's
+            # top halo is band B-1's last row), matching the
+            # reference's wraparound row exchange
+            # (mpi/parsim-mpi.cpp:735-781).
+            up = (b - 1) % B
+            dn = (b + 1) % B
+            bl[up], o1 = merge_into_row(bl[up], tops[b],
+                                        NROWS[up] - 2, up)
+            bl[dn], o2 = merge_into_row(bl[dn], bots[b], 1, dn)
+            ovf = ovf + o1 + o2
+        return bl, ovf
+
     def ship_and_deliver(bl):
         """Deliver every mover to its destination cell, crossing band
         boundaries through the halo rows (the in-program analog of the
@@ -355,37 +416,7 @@ def make_banded_run(config: SimConfig, plan, backend: str = "xla",
 
         def body(c):
             bl, _, rounds, ovf = c
-            bl = list(bl)
-
-            def take(row, b):
-                # Packed-prefix halo slice (see HALO_W); occupants beyond
-                # the lane budget are dropped from this attempt and
-                # flagged, so the engine replays with a grown plan.
-                w = min(halo_w, bands[b][2])
-                dropped = jnp.sum(row["occ"][:, w:], dtype=jnp.int32)
-                return {f: v[:, :w] for f, v in row.items()}, dropped
-
-            tops, bots = [], []
-            for b in range(B):
-                t, d1 = take(extract_row(bl[b], 0, b), b)
-                bo, d2 = take(extract_row(bl[b], NROWS[b] - 1, b), b)
-                tops.append(t)
-                bots.append(bo)
-                ovf = ovf + d1 + d2
-            bl = [clear_halos(bl[b], b) for b in range(B)]
-            for b in range(B):
-                # band b's top halo (global row row0-1) -> previous band's
-                # last real row; bottom halo (row0+rows) -> next band's
-                # first real row. The ring closes periodically (band 0's
-                # top halo is band B-1's last row), matching the
-                # reference's wraparound row exchange
-                # (mpi/parsim-mpi.cpp:735-781).
-                up = (b - 1) % B
-                dn = (b + 1) % B
-                bl[up], o1 = merge_into_row(bl[up], tops[b],
-                                            NROWS[up] - 2, up)
-                bl[dn], o2 = merge_into_row(bl[dn], bots[b], 1, dn)
-                ovf = ovf + o1 + o2
+            bl, ovf = exchange_once(bl, ovf)
             bl, und = rebin_all(tuple(bl))
             return bl, halo_pending(bl), rounds + 1, ovf + und
 
@@ -518,6 +549,112 @@ def make_banded_run(config: SimConfig, plan, backend: str = "xla",
                            jnp.int32(0)))
         return (tuple(bl), tuple(fxs2), tuple(fys2), coll, panics, ovf)
 
+    # Band-major scheduling fence for the fused step: without it XLA's
+    # scheduler is free to interleave all bands' integrate passes before
+    # any rebin (the phases are data-independent across bands), which
+    # recreates the phase-major HBM pattern the fusion exists to avoid.
+    # Threading each band's state through one optimization_barrier with
+    # the previous band's freshly produced arrays pins the program order
+    # to band-major, keeping the live set ~one band. Off via
+    # PSIM_BANDED_FUSED_BARRIER=0 for A/B.
+    use_barrier = os.environ.get("PSIM_BANDED_FUSED_BARRIER", "1") != "0"
+
+    def _fence(ts: res.TileState, prev):
+        if not use_barrier or prev is None:
+            return ts
+        fenced = jax.lax.optimization_barrier((ts.x, ts.y, ts.vx, ts.vy,
+                                               ts.m, ts.occ, ts.pid,
+                                               prev))
+        return ts._replace(x=fenced[0], y=fenced[1], vx=fenced[2],
+                           vy=fenced[3], m=fenced[4], occ=fenced[5],
+                           pid=fenced[6])
+
+    def step_fused(carry):
+        """Band-major fused step (see make_banded_run docstring).
+
+        Phase pattern per band: [mono+integrate+rebin](b) adjacent, one
+        unrolled halo exchange, then [rebin+pairs](b) adjacent. Any
+        mover still in a halo row after the single exchange flags
+        SHIP_OVF + pending (engine replays on the general step).
+        Physics identical to ``step`` whenever the general step's
+        shipping while_loop would have run <= 1 round: same mover
+        walks, same merge ranks, same pair domain.
+        """
+        bl, fxs, fys, coll, panics, ovf = carry
+        bl = list(bl)
+        mfs, limbos = [], []
+        for b in range(B):
+            mf, _, limbo = physics_mass(bl[b], b)
+            mfs.append(mf)
+            limbos.append(limbo)
+        tables = com_tables(bl, mfs)
+        und = jnp.int32(0)
+        prev = None
+        for b in range(B):
+            bl[b] = _fence(bl[b], prev)
+            if ablate == "mono":
+                fx_tot, fy_tot = fxs[b], fys[b]
+            else:
+                ml_t, mxl_t, myl_t = tables[b]
+                fxm, fym = dmod.monopole_tile_forces(
+                    bl[b].x, bl[b].y, mfs[b], ml_t, mxl_t, myl_t)
+                fx_tot, fy_tot = fxs[b] + fxm, fys[b] + fym
+            x, y, vx, vy = integrate.integrate(
+                bl[b].x, bl[b].y, bl[b].vx, bl[b].vy, bl[b].m,
+                fx_tot, fy_tot, side, DELTAT)
+            bl[b] = bl[b]._replace(x=x, y=y, vx=vx, vy=vy)
+            if ablate != "rebin":
+                bl[b], u = res.rebin(bl[b], side, nc, bands[b][2],
+                                     mover_fn=MOVER[b], nrows=NROWS[b])
+                und = und + u
+            prev = bl[b].x
+
+        if ablate != "rebin":
+            bl, und = exchange_once(bl, und)
+
+        fxs2, fys2 = [], []
+        count = jnp.int32(0)
+        hovf = jnp.int32(0)
+        pending = jnp.int32(0)
+        prev = None
+        for b in range(B):
+            bl[b] = _fence(bl[b], prev)
+            if ablate != "rebin":
+                bl[b], u2 = res.rebin(bl[b], side, nc, bands[b][2],
+                                      mover_fn=MOVER[b], nrows=NROWS[b])
+                und = und + u2
+                pending = pending + jnp.sum(bl[b].occ & ~REAL[b],
+                                            dtype=jnp.int32)
+            if ablate == "pairs":
+                fxd = jnp.zeros_like(bl[b].x)
+                fyd, cnt = fxd, jnp.int32(0)
+                died = jnp.zeros(bl[b].occ.shape, bool)
+            else:
+                fxd, fyd, cnt, died, ho = pair_pass(bl[b], b, collide=True)
+                hovf = jnp.maximum(hovf, ho)
+            bl[b] = bl[b]._replace(
+                m=jnp.where(died, jnp.float32(0.0), bl[b].m))
+            fxs2.append(fxd)
+            fys2.append(fyd)
+            count = count + cnt
+            prev = fxd
+
+        coll = coll + count
+        panics = panics + sum(limbos)
+        ovf = jnp.maximum(ovf, jnp.where(und > 0, und, 0))
+        ovf = jnp.maximum(
+            ovf, jnp.where(
+                pending > 0,
+                jnp.int32(SHIP_OVF)
+                + jnp.minimum(pending, jnp.int32(SHIP_OVF - 1)),
+                jnp.int32(0)))
+        ovf = jnp.maximum(
+            ovf, jnp.where(hovf > 0,
+                           jnp.int32(dmod.HIT_OVF)
+                           + jnp.minimum(hovf, jnp.int32(dmod.HIT_OVF - 1)),
+                           jnp.int32(0)))
+        return (tuple(bl), tuple(fxs2), tuple(fys2), coll, panics, ovf)
+
     # ---- prologue / epilogue -------------------------------------------
     def _zero_tile(b):
         nct, k = NCT[b], bands[b][2]
@@ -533,8 +670,22 @@ def make_banded_run(config: SimConfig, plan, backend: str = "xla",
             collisions=z, panics=z, overflow=z)
 
     def prologue(state: SimState):
-        """Scatter the (cell-key-sorted) particle slab into band tiles."""
+        """Scatter the particle slab into band tiles.
+
+        Sorts by cell key first (one sort per run, like
+        engine.make_resident_run.prologue): segment_positions needs
+        contiguous per-cell segments, and while engine-produced states
+        are always sorted, a hand-built or externally restored slab is
+        not — scattering an unsorted slab would silently overwrite
+        same-cell particles.
+        """
         key, valid = binning.cell_keys(state.x, state.y, side, nc)
+        skey, spid, sx, sy, svx, svy, sm, _salive = binning.sort_by_cell(
+            key, state.pid, state.x, state.y, state.vx, state.vy,
+            state.m, state.alive)
+        state = state._replace(x=sx, y=sy, vx=svx, vy=svy, m=sm, pid=spid)
+        key = skey
+        valid = key < ncells
         pos, _ = binning.segment_positions(key)
         cy = key // nc
         cx = key - cy * nc
@@ -611,12 +762,15 @@ def make_banded_run(config: SimConfig, plan, backend: str = "xla",
             fys.append(fyd)
         return tuple(fxs), tuple(fys)
 
+    step_fn = step_fused if fused else step
+
     def run(state: SimState, n_steps):
         bl, ovf = prologue(state)
         fxs, fys = initial_forces(bl)
         z = jnp.zeros((), jnp.int32)
         carry = (bl, fxs, fys, z, z, ovf)
-        carry = jax.lax.fori_loop(0, n_steps, lambda i, c: step(c), carry)
+        carry = jax.lax.fori_loop(0, n_steps, lambda i, c: step_fn(c),
+                                  carry)
         bl, _, _, coll, panics, ovf = carry
         return epilogue(bl, coll, panics, ovf, state)
 

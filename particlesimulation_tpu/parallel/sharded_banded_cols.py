@@ -533,6 +533,12 @@ def make_sharded_banded_cols_run(config: SimConfig, mesh, plan, cap: int):
             return (embed(fxd, 0.0), embed(fyd, 0.0), count,
                     embed(ftd != INF, False))
 
+        # Debug-only phase ablation for composition cost attribution
+        # (PSIM_ABLATE=rebin|pairs|mono skips that phase; results are
+        # wrong) — same contract as ops/banded.py, so single-chip and
+        # sharded legs of a composition A/B can ablate symmetrically.
+        ablate = os.environ.get("PSIM_ABLATE", "")
+
         # ---- one step --------------------------------------------------
         def step(carry):
             bl, fxs, fys, coll, panics, ovf = carry
@@ -544,21 +550,34 @@ def make_sharded_banded_cols_run(config: SimConfig, mesh, plan, cap: int):
                 limbo = limbo + lb
             tables = com_tables(bl, mfs)
             for b in range(B):
-                ml_t, mxl_t, myl_t = tables[b]
-                fxm, fym = dmod.monopole_tile_forces(
-                    bl[b].x, bl[b].y, mfs[b], ml_t, mxl_t, myl_t)
+                if ablate == "mono":
+                    fx_tot, fy_tot = fxs[b], fys[b]
+                else:
+                    ml_t, mxl_t, myl_t = tables[b]
+                    fxm, fym = dmod.monopole_tile_forces(
+                        bl[b].x, bl[b].y, mfs[b], ml_t, mxl_t, myl_t)
+                    fx_tot, fy_tot = fxs[b] + fxm, fys[b] + fym
                 x, y, vx, vy = integrate.integrate(
                     bl[b].x, bl[b].y, bl[b].vx, bl[b].vy, bl[b].m,
-                    fxs[b] + fxm, fys[b] + fym, side, DELTAT)
+                    fx_tot, fy_tot, side, DELTAT)
                 bl[b] = bl[b]._replace(x=x, y=y, vx=vx, vy=vy)
 
-            bl, mig_ovf = ship_and_deliver(tuple(bl))
+            if ablate == "rebin":
+                mig_ovf = jnp.int32(0)
+            else:
+                bl, mig_ovf = ship_and_deliver(tuple(bl))
             bl = list(bl)
 
             fxs2, fys2 = [], []
             count = jnp.int32(0)
             for b in range(B):
-                fxd, fyd, cnt, died = pair_pass(bl[b], b, collide=True)
+                if ablate == "pairs":
+                    fxd = jnp.zeros_like(bl[b].x)
+                    fyd, cnt = fxd, jnp.int32(0)
+                    died = jnp.zeros(bl[b].occ.shape, bool)
+                else:
+                    fxd, fyd, cnt, died = pair_pass(bl[b], b,
+                                                    collide=True)
                 bl[b] = bl[b]._replace(
                     m=jnp.where(died, jnp.float32(0.0), bl[b].m))
                 fxs2.append(fxd)

@@ -147,3 +147,89 @@ def test_banded_golden_vector_3():
     x, y, coll = result_of(out)
     assert f"{x:.3f} {y:.3f}" == "1.733 1.643"
     assert coll == 2
+
+
+# ---- band-major fused step (round 5) -----------------------------------
+
+def _banded_out(cfg, plan, steps, state=None, fused=True):
+    # Default is the general step (the r5 silicon A/B measured fusion
+    # perf-neutral); opt in per-run via env so both paths stay covered.
+    import os
+    prev = os.environ.get("PSIM_BANDED_FUSED")
+    os.environ["PSIM_BANDED_FUSED"] = "1" if fused else "0"
+    try:
+        eng = Engine(cfg, impl="banded")
+        eng._band_plan = plan
+        out = eng.run(state if state is not None else eng.init_state(),
+                      steps)
+    finally:
+        if prev is None:
+            os.environ.pop("PSIM_BANDED_FUSED", None)
+        else:
+            os.environ["PSIM_BANDED_FUSED"] = prev
+    return out, eng
+
+
+def test_banded_fused_matches_general_bitwise():
+    """fused=True and fused=False run the identical op sequence whenever
+    one exchange suffices: same mover walks, same merge ranks, same pair
+    domain — so the trajectories are BITWISE equal, not just close."""
+    cfg = SimConfig(seed=-7, side=100.0, ncside=12, n_particles=4000,
+                    precision=Precision.FAST)
+    plan = ((0, 3, 64), (3, 3, 256), (6, 3, 256), (9, 3, 64))
+    out_f, eng_f = _banded_out(cfg, plan, 25, fused=True)
+    out_g, _ = _banded_out(cfg, plan, 25, fused=False)
+    assert not eng_f._fused_off, "fused run fell back unexpectedly"
+    assert int(np.asarray(out_f.overflow)) == 0
+    for f in ("x", "y", "vx", "vy", "m", "alive", "pid"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(out_f, f)), np.asarray(getattr(out_g, f)),
+            err_msg=f)
+    assert int(np.asarray(out_f.collisions)) == int(
+        np.asarray(out_g.collisions))
+
+
+def test_banded_fused_ship_fallback_lossless():
+    """A mover crossing TWO band boundaries in one step exceeds the fused
+    step's single unrolled exchange: the run must flag SHIP_OVF, fall
+    back to the general shipping step, and lose nothing."""
+    import jax.numpy as jnp
+    from particlesimulation_tpu.state import SimState
+
+    nc, side, n = 8, 8.0, 64
+    cfg = SimConfig(seed=1, side=side, ncside=nc, n_particles=n,
+                    precision=Precision.FAST)
+    rng = np.random.default_rng(3)
+    x = rng.uniform(0, side, n)
+    y = rng.uniform(0, side, n)
+    vx = np.zeros(n)
+    vy = np.zeros(n)
+    # Particle 0: crosses 2.5 cell rows per step (DELTAT=0.1, w=1.0).
+    x[0], y[0] = 4.5, 0.5
+    vy[0] = 25.0
+    m = np.full(n, 1e-9)  # tiny masses: no collisions, forces negligible
+
+    def mkstate():
+        z = jnp.zeros((), jnp.int32)
+        return SimState(
+            x=jnp.asarray(x, jnp.float32), y=jnp.asarray(y, jnp.float32),
+            vx=jnp.asarray(vx, jnp.float32),
+            vy=jnp.asarray(vy, jnp.float32),
+            m=jnp.asarray(m, jnp.float32),
+            alive=jnp.ones(n, dtype=bool),
+            pid=jnp.arange(n, dtype=jnp.int32),
+            collisions=z, panics=z, overflow=z)
+
+    plan = tuple((r, 1, 32) for r in range(nc))  # 1-row bands
+    out_f, eng = _banded_out(cfg, plan, 4, state=mkstate(), fused=True)
+    assert eng._fused_off, "2-boundary hop did not trigger the fallback"
+    assert int(np.asarray(out_f.overflow)) == 0
+    ref = Engine(cfg, impl="resident")
+    out_r = ref.run(mkstate(), 4)
+    order_f = np.argsort(np.asarray(out_f.pid))
+    order_r = np.argsort(np.asarray(out_r.pid))
+    np.testing.assert_allclose(np.asarray(out_f.x)[order_f],
+                               np.asarray(out_r.x)[order_r], atol=5e-3)
+    np.testing.assert_allclose(np.asarray(out_f.y)[order_f],
+                               np.asarray(out_r.y)[order_r], atol=5e-3)
+    assert sorted(np.asarray(out_f.pid).tolist()) == list(range(n))
