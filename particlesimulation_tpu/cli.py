@@ -97,6 +97,10 @@ def main(argv: list[str] | None = None) -> int:
                        n_shards=mesh, mesh_shape=mesh_shape)
 
     if mesh_shape and mesh > 1:
+        # With no --impl flag the 2D engine census-routes too: clustered
+        # and sparse loads delegate to the 1D ring (banded-cols /
+        # supercell) over the same devices; uniform loads stay on the
+        # rectangle decomposition (round 5).
         from particlesimulation_tpu.parallel.sharded2d import Sharded2DEngine
         eng = Sharded2DEngine(config, mesh_shape, impl=impl)
     elif mesh > 1:

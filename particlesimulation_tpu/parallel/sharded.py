@@ -547,15 +547,18 @@ class ShardedEngine:
                 self._band_plan = uniform_band_plan(
                     cfg.ncside, band_rows, kcap_est)
 
-    def init_state(self) -> ShardedState:
+    def init_state(self, _host=None) -> ShardedState:
         """Host init, then scatter by owner row-block into per-shard slabs.
 
         The reference initializes everything on rank 0 with the shared RNG
         and distributes by ownership (mpi/parsim-mpi.cpp:344-349,406-465);
-        the same split happens here on the host.
+        the same split happens here on the host. ``_host`` lets a caller
+        that already ran the initializer (Sharded2DEngine's census
+        delegation) hand over its (x, y, vx, vy, m) arrays.
         """
         cfg = self.config
-        xs, ys, vxs, vys, ms = init_particles_host(cfg)
+        xs, ys, vxs, vys, ms = (_host if _host is not None
+                                else init_particles_host(cfg))
         n = cfg.n_particles
         if self._impl_auto:
             # Route BEFORE balance planning: clustered loads go banded

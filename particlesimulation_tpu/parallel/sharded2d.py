@@ -484,11 +484,19 @@ class Sharded2DEngine:
                 raise RuntimeError("parity precision requires jax_enable_x64")
             self.dtype = jnp.float64
             self.impl = "sweep"
+            self._impl_auto = False
         else:
             self.dtype = jnp.float32
             if impl is None:
-                impl = os.environ.get("PSIM_SHARD_IMPL", "resident")
-            self.impl = impl
+                impl = os.environ.get("PSIM_SHARD_IMPL")
+            # Census auto-routing (round 5): with no impl flag, clustered
+            # and sparse loads delegate to the 1D ring over the SAME
+            # devices at init_state (banded-cols / supercell are 1D
+            # decompositions — a mesh request fixes the device count,
+            # the engine picks the decomposition that fits the load,
+            # like engine.Engine.init_state on a single chip).
+            self._impl_auto = impl is None
+            self.impl = impl or "resident"
         if self.impl not in ("resident", "sweep"):
             raise ValueError(
                 f"unknown sharded2d impl {self.impl!r}; "
@@ -498,6 +506,7 @@ class Sharded2DEngine:
         self.bcap = config.migration_capacity or None
         self._built_key = None
         self._run = None
+        self._delegate = None  # 1D ShardedEngine when census routes away
 
     @staticmethod
     def _round_cap(x: float) -> int:
@@ -540,7 +549,15 @@ class Sharded2DEngine:
         (row block, col block) pair.
         """
         cfg = self.config
-        xs, ys, vxs, vys, ms = init_particles_host(cfg)
+        host = init_particles_host(cfg)
+        if self._impl_auto:
+            self._impl_auto = False
+            cand = self._route_1d(host)
+            if cand is not None:
+                self._delegate = cand
+                self.impl = cand.impl  # observability (run() forwards)
+                return cand.init_state(_host=host)
+        xs, ys, vxs, vys, ms = host
         n = cfg.n_particles
         particles = {
             "x": xs, "y": ys, "vx": vxs, "vy": vys, "m": ms,
@@ -548,6 +565,49 @@ class Sharded2DEngine:
             "pid": np.arange(n, dtype=np.int32),
         }
         return self.pack_particles(particles)
+
+    def _route_1d(self, host):
+        """Census-route clustered/sparse loads to the 1D ring (or None).
+
+        banded-cols and supercell are 1D decompositions; the rectangle
+        split has no equivalent (and measured no advantage at the shard
+        counts where those regimes matter — PERF.md "2D rectangular
+        mesh"). A ``--mesh RxC`` request fixes the device COUNT; with no
+        impl flag the engine owns the decomposition choice, so the same
+        census gates as the 1D ``ShardedEngine`` run here and, on a hit,
+        the run executes on the identical chips re-laid as a ring. The
+        reference's one-binary mpirun harness is the behavioral model
+        (reference mpi/run_tests.sh:8-16): no workload needs a flag to
+        run distributed well. Uniform loads return None and stay on the
+        2D resident/sweep path (faster per chip than 1D resident —
+        PERF.md mesh2d A/B).
+        """
+        import dataclasses
+
+        from particlesimulation_tpu.parallel.sharded import ShardedEngine
+        if self.config.n_shards > self.config.ncside:
+            # The 1D row-block split needs a grid row per shard (the
+            # rectangle split factors the device count across two axes,
+            # so an RxC mesh can be valid where the flat ring is not —
+            # the reference's 1D MPI split simply breaks there,
+            # mpi/parsim-mpi.cpp:338-342).
+            return None
+        cfg = dataclasses.replace(self.config, mesh_shape=())
+        devices = list(self.mesh.devices.reshape(-1))
+        cand = ShardedEngine(cfg, devices=devices)
+        if cand.impl == "supercell":        # config-static sparse route
+            return cand
+        if cand._impl_auto:
+            w = cfg.side / cfg.ncside
+            hx = np.clip((np.asarray(host[0]) / w).astype(np.int64), 0,
+                         cfg.ncside - 1)
+            hy = np.clip((np.asarray(host[1]) / w).astype(np.int64), 0,
+                         cfg.ncside - 1)
+            cand._census_route(np.bincount(hy * cfg.ncside + hx,
+                                           minlength=cfg.ncells))
+            if cand.impl != "resident":
+                return cand
+        return None
 
     def pack_particles(self, particles, collisions=0, panics=0,
                        dtype=None) -> ShardedState:
@@ -667,6 +727,8 @@ class Sharded2DEngine:
         CAP_OVF grows the per-shard slab; sweep migration overflow grows
         slab + buffer; STRAY_OVF is an invariant violation and raises.
         """
+        if self._delegate is not None:
+            return self._delegate.run(state, n_steps)
         from particlesimulation_tpu.parallel.sharded import (
             CAP_OVF, STRAY_OVF)
         for _attempt in range(8):
@@ -707,6 +769,8 @@ class Sharded2DEngine:
         raise RuntimeError("sharded2d capacity retries exhausted")
 
     def result(self, state: ShardedState) -> tuple[float, float, int]:
+        if self._delegate is not None:
+            return self._delegate.result(state)
         valid = np.asarray(state.valid)
         pid = np.asarray(state.pid)[valid]
         x = np.asarray(state.x)[valid]
@@ -716,6 +780,8 @@ class Sharded2DEngine:
 
     def gather(self, state: ShardedState):
         """Full state in original pid order (the reference's Gatherv)."""
+        if self._delegate is not None:
+            return self._delegate.gather(state)
         valid = np.asarray(state.valid)
         out = {}
         pid = np.asarray(state.pid)[valid]

@@ -202,7 +202,8 @@ def test_sharded2d_fast_precision_matches_single_sweep():
 
     me = Sharded2DEngine(
         SimConfig(**base, n_shards=4, mesh_shape=(2, 2),
-                  shard_capacity=64, migration_capacity=64), (2, 2))
+                  shard_capacity=64, migration_capacity=64), (2, 2),
+        impl="resident")  # pinned: auto would route this sparse config 1D
     ms = me.run(me.init_state(), 12)
     assert int(ms.collisions) == int(ss.collisions)
     multi = me.gather(ms)
@@ -280,3 +281,58 @@ def test_sharded2d_checkpoint_cross_decomposition(tmp_path):
     np.testing.assert_array_equal(resumed["pid"], full["pid"])
     for f in ("x", "y", "m", "alive"):
         np.testing.assert_array_equal(resumed[f], full[f], err_msg=f)
+
+
+# ---- round-5 census auto-routing: 2D mesh delegates clustered/sparse ----
+# loads to the 1D ring over the same devices (banded-cols / supercell
+# are 1D decompositions; a mesh request fixes the device count, the
+# engine picks the decomposition — the reference's one-binary mpirun
+# harness never needs a flag either, reference mpi/run_tests.sh:8-16).
+
+
+@needs_mesh
+def test_mesh2d_auto_routes_sparse_to_supercell():
+    base = dict(seed=1, side=3.0, ncside=24, n_particles=300,
+                precision=Precision.FAST)
+    se = Engine(SimConfig(**base), impl="supercell")
+    ss = se.run(se.init_state(), 8)
+    me = Sharded2DEngine(
+        SimConfig(**base, n_shards=8, mesh_shape=(2, 4)), (2, 4))
+    st = me.init_state()
+    assert me._delegate is not None and me.impl == "supercell"
+    ms = me.run(st, 8)
+    assert int(np.asarray(ms.collisions)) == int(np.asarray(ss.collisions))
+    g = me.gather(ms)
+    order = np.argsort(np.asarray(ss.pid))
+    np.testing.assert_array_equal(g["alive"], np.asarray(ss.alive)[order])
+    assert int(np.asarray(ms.overflow)) == 0
+
+
+@needs_mesh
+def test_mesh2d_auto_routes_clustered_to_banded_cols():
+    """UNEVEN-at-reduced-N under --mesh 2x4: the census must land on the
+    column-sharded banded engine with a real multi-band plan (same gate
+    as the 1D test; the blob shape is census-scale so plan_tiers fires
+    under the production band penalty)."""
+    cfg = SimConfig(seed=-7, side=5000.0, ncside=100, n_particles=200_000,
+                    precision=Precision.FAST, n_shards=8,
+                    mesh_shape=(2, 4))
+    eng = Sharded2DEngine(cfg, (2, 4))
+    eng.init_state()
+    assert eng._delegate is not None, "census did not delegate"
+    assert eng.impl == "banded"
+    assert eng._delegate.banded_variant == "cols"
+    assert (eng._delegate._band_plan is not None
+            and len(eng._delegate._band_plan) >= 2)
+
+
+@needs_mesh
+def test_mesh2d_auto_uniform_stays_2d_resident():
+    cfg = SimConfig(seed=3, side=8.0, ncside=8, n_particles=400,
+                    precision=Precision.FAST, n_shards=8,
+                    mesh_shape=(2, 4))
+    eng = Sharded2DEngine(cfg, (2, 4))
+    st = eng.init_state()
+    assert eng._delegate is None and eng.impl == "resident"
+    ms = eng.run(st, 5)
+    assert int(np.asarray(ms.overflow)) == 0

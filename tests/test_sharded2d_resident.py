@@ -31,6 +31,11 @@ def _run_pair(base, mesh_shape, steps, **kw):
     shards = mesh_shape[0] * mesh_shape[1]
     se = Engine(SimConfig(**base), impl="resident", dense_backend="xla")
     ss = se.run(se.init_state(), steps)
+    # Pin impl: these are resident-vs-resident tests; the round-5 census
+    # auto-route would delegate the sparse configs to the 1D supercell
+    # path (covered by tests/test_sharded_supercell.py + the 2D routing
+    # tests in tests/test_sharded2d.py).
+    kw.setdefault("impl", "resident")
     me = Sharded2DEngine(
         SimConfig(**base, n_shards=shards, mesh_shape=mesh_shape),
         mesh_shape, **kw)
