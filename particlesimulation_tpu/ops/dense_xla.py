@@ -181,6 +181,26 @@ def _eff_cb(cb: int, kcap: int) -> int:
     return max(8, (cb * 192 // kcap) // 8 * 8)
 
 
+def _snug_cb(cb: int, ncells: int) -> int:
+    """Rebalance the cell-block size to the actual cell count.
+
+    Keeps the block count ceil(ncells / cb) but shrinks the block so the
+    last block carries at most 7 padded cell rows instead of up to
+    cb - 1. Exact by construction: every per-cell output (forces, ranks,
+    counts) is computed within its own (K, K) row — block boundaries
+    group whole cell rows and never mix them — so the result is bitwise
+    independent of cb. The waste this reclaims is real on both targets:
+    a padded cell row costs the full K² lanes of its block. Measured
+    motivation (round 5): at D=8 the column-sharded banded engine's
+    per-shard bands are 13 columns wide, so every band rounded up to a
+    full 1024-row block — 2.96x the single-chip pair lanes on the
+    UNEVEN compose config, the dominant term of the measured 1.45x
+    pairs-phase composition factor (PERF.md "Phase-ablated composition").
+    """
+    nb = max(1, -(-ncells // cb))
+    return min(cb, max(8, (-(-ncells // nb) + 7) // 8 * 8))
+
+
 def _blocked(a, cb):
     nb = -(-a.shape[0] // cb)
     pad = nb * cb - a.shape[0]
@@ -192,7 +212,7 @@ def _blocked(a, cb):
 def dense_pairwise_forces(xd, yd, md, ml_t, mxl_t, myl_t, ncells: int,
                           kcap: int, cb: int = CELL_BLOCK):
     """(ncells, K) tiles + (ncells, 8) stencil → per-slot (fx, fy)."""
-    cb = _eff_cb(cb, kcap)
+    cb = _snug_cb(_eff_cb(cb, kcap), ncells)
     g = jnp.float32(G)
 
     def block(args):
@@ -265,7 +285,7 @@ def fused_pairs(xd, yd, mfd, alived, ncells: int, kcap: int, eps: float,
     With ``collide=False`` (run prologue) no pairs collide and masses pass
     through unchanged.
     """
-    cb = _eff_cb(cb, kcap)
+    cb = _snug_cb(_eff_cb(cb, kcap), ncells)
     g = jnp.float32(G)
     eps2 = jnp.float32(eps) * jnp.float32(eps)
     INF = jnp.int32(0x7FFFFFFF)
@@ -359,7 +379,7 @@ def fused_pairs_v2(xd, yd, mfd, alived, ncells: int, kcap: int, eps: float,
       every step, but only ~1 of nb_i receiver chunks is flagged —
       PERF.md "1e7 pair-pass attribution", round 4).
     """
-    cb = _eff_cb(cb, kcap)
+    cb = _snug_cb(_eff_cb(cb, kcap), ncells)
     g = jnp.float32(G)
     eps2 = jnp.float32(eps) * jnp.float32(eps)
     INF = jnp.int32(0x7FFFFFFF)
@@ -586,7 +606,7 @@ def fused_pairs_v3(xd, yd, mfd, alived, ncells: int, kcap: int, eps: float,
     or smaller cell blocks, and its bit-equality with v2 is pinned in
     tests/test_dense_kernels.py.
     """
-    cb = _eff_cb(cb, kcap)
+    cb = _snug_cb(_eff_cb(cb, kcap), ncells)
     g = jnp.float32(G)
     eps2 = jnp.float32(eps) * jnp.float32(eps)
     INF = jnp.int32(0x7FFFFFFF)
@@ -733,7 +753,7 @@ def fused_pairs_v4(xd, yd, mfd, alived, ncells: int, kcap: int, eps: float,
     |xl|/d ≈ cell_width/EPSILON ULPs — measured and documented; the
     collision machinery is v2's exactly (d² never rides the MXU).
     """
-    cb = _eff_cb(cb, kcap)
+    cb = _snug_cb(_eff_cb(cb, kcap), ncells)
     g = jnp.float32(G)
     eps2 = jnp.float32(eps) * jnp.float32(eps)
     INF = jnp.int32(0x7FFFFFFF)
@@ -977,7 +997,7 @@ def fused_pairs_v5(xd, yd, mfd, alived, ncells: int, kcap: int, eps: float,
     Saved FLOPs were the cheap part. Kept selectable (PSIM_PAIR_IMPL=v5)
     with correctness pinned; v2 stays the default.
     """
-    cb = _eff_cb(cb, kcap)
+    cb = _snug_cb(_eff_cb(cb, kcap), ncells)
     g = jnp.float32(G)
     eps2 = jnp.float32(eps) * jnp.float32(eps)
     INF = jnp.int32(0x7FFFFFFF)
@@ -1217,7 +1237,7 @@ def dense_collisions(xd, yd, alived, ncells: int, kcap: int, eps: float,
     reference set-rule semantics); ``pid`` tiles restore bucket-order
     tie-breaks when slot order ≠ pid order (resident impl).
     """
-    cb = _eff_cb(cb, kcap)
+    cb = _snug_cb(_eff_cb(cb, kcap), ncells)
     eps2 = jnp.float32(eps) * jnp.float32(eps)
     INF = jnp.int32(0x7FFFFFFF)
     base = jnp.int32(kcap + 1)

@@ -395,11 +395,31 @@ def make_sharded_supercell_run(config: SimConfig, mesh, kcap: int,
             _, _, _, sub, _ = slot_geometry(ts.x, ts.y)
             sub = jnp.where(binned, sub, jnp.int32(-1))
             ad = (binned & (ts.m > 0)).astype(jnp.int32)
+
+            # Halo super-rows are empty whenever pairs run (the ship loop
+            # drains them first; a non-empty residue flags overflow and
+            # the whole run replays), so slice them out before dispatch —
+            # otherwise each shard pays 2 of nsrows_t rows of K² lanes
+            # for nothing (~29% at D=8 on the SMALL compose config, the
+            # dominant term of its measured 1.31x composition factor —
+            # PERF.md round 5). Same move as sharded_banded_cols'
+            # pair_pass halo-column slice.
+            own = slice(nsc, (scrows_max + 1) * nsc)
+
+            def inner(a):
+                return a[own]
+
             fxd, fyd, count, ftd = fused_fn(
-                ts.x, ts.y, mf, ad, ncells_t, kcap, EPSILON,
-                collide=collide, pid=ts.pid, sub=sub)
-            died = ftd != INF
-            return fxd, fyd, count, died
+                inner(ts.x), inner(ts.y), inner(mf), inner(ad),
+                scrows_max * nsc, kcap, EPSILON,
+                collide=collide, pid=inner(ts.pid), sub=inner(sub))
+
+            def embed(a, fill):
+                return jnp.pad(a, ((nsc, nsc), (0, 0)),
+                               constant_values=fill)
+
+            died = embed(ftd != INF, False)
+            return embed(fxd, 0.0), embed(fyd, 0.0), count, died
 
         # ---- one step ------------------------------------------------------
         def step(carry):

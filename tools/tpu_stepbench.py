@@ -140,6 +140,10 @@ def main():
         # step evolution with one fori_loop iteration per device call.
         s = state
         del state  # 3 live states OOM; keep only the evolving one + output
+        t0 = time.time()
+        w = eng.run(s, 0)  # compile in its own device-call budget
+        del w
+        print(f"warm run(0) compile: {time.time()-t0:.1f}s", flush=True)
         times = []
         for i in range(steps):
             t0 = time.time()
