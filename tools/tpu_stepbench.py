@@ -144,23 +144,35 @@ def main():
         w = eng.run(s, 0)  # compile in its own device-call budget
         del w
         print(f"warm run(0) compile: {time.time()-t0:.1f}s", flush=True)
-        times = []
-        for i in range(steps):
+        # Steps per device call (default 1). The 1-step calls pay the
+        # engine prologue/epilogue (slab sort <-> tiles) every call;
+        # raising this amortizes them and separates per-step compute
+        # from per-call overhead: per-step = t(chunk=k) - t(chunk=1)
+        # over k-1 extra steps.
+        chunk = int(os.environ.get("PSIM_BENCH_CHUNK1", "1") or "1")
+        calls = []  # (steps_in_call, seconds)
+        done = 0
+        while done < steps:
+            k = min(chunk, steps - done)
             t0 = time.time()
-            s = eng.run(s, 1)
-            times.append(time.time() - t0)
-            print(f"step {i + 1}/{steps}: {times[-1]:.1f}s "
-                  f"(first includes compile)", flush=True)
-        per = sorted(times[1:])[len(times[1:]) // 2] if steps > 1 else None
+            s = eng.run(s, k)
+            calls.append((k, time.time() - t0))
+            done += k
+            print(f"steps {done}/{steps} (call of {k}): "
+                  f"{calls[-1][1]:.1f}s", flush=True)
+        warm = calls[1:] if len(calls) > 1 else calls
         print(f"collisions={int(np.asarray(s.collisions))} "
               f"overflow={int(np.asarray(s.overflow))} "
               f"panics={int(np.asarray(s.panics))}", flush=True)
         alive_frac = float(np.asarray((s.m > 0).sum())) / n
         print(f"alive fraction={alive_frac:.6f}", flush=True)
-        if per is not None:
-            print(f"median warm per-call {per:.2f}s (upper bound on "
-                  f"per-step: includes tunnel dispatch + scalar fence) -> "
-                  f"rate >= {n/per/1e6:.1f} M particle*steps/s", flush=True)
+        if warm:
+            rates = sorted(t / k for k, t in warm)
+            per = rates[len(rates) // 2]
+            print(f"median warm per-step (call time / steps in call, "
+                  f"includes amortized prologue/epilogue + tunnel "
+                  f"dispatch) {per:.2f}s -> rate >= "
+                  f"{n/per/1e6:.1f} M particle*steps/s", flush=True)
         return
 
     if os.environ.get("PSIM_BENCH_SINGLE"):
